@@ -1,0 +1,169 @@
+"""Synthetic-hash search tests.
+
+Port of the reference's fake-backend search tests
+(``vid_dup_finder_lib/tests/test_find_all.rs:12-315``): cluster fixtures with
+guaranteed intra/inter-group Hamming separation built by exact-distance bit
+flipping, exercising the search engine with no video data at all.  Also
+cross-checks every distance backend (naive loop, NumPy banded matmul, JAX
+device kernel) against the same fixtures.
+"""
+
+import numpy as np
+import pytest
+
+from vid_dup_finder_lib_tpu import (
+    TOLERANCE_SCALING_FACTOR,
+    VideoHash,
+    search,
+    search_with_references,
+)
+
+
+class HashesWithDistance:
+    """A start hash plus members at an exact distance from it
+    (test_find_all.rs:12-60)."""
+
+    def __init__(self, start_hash, distance_from_start, num_hashes, rng):
+        self.start_hash = start_hash
+        self.members = [
+            start_hash.hash_with_spatial_distance(distance_from_start, rng)
+            for _ in range(num_hashes)
+        ]
+        for m1 in self.members:
+            for m2 in self.members:
+                assert m1.hamming_distance(m2) <= distance_from_start * 2
+
+    def shuffled_members(self, rng):
+        out = list(self.members)
+        rng.shuffle(out)
+        return out
+
+
+class HashesWithDistanceSet:
+    """Clusters with guaranteed separation (test_find_all.rs:63-132)."""
+
+    def __init__(
+        self, num_groups, hashes_per_group, intergroup_distance,
+        intragroup_distance, rng,
+    ):
+        assert intragroup_distance * 2 < intergroup_distance
+        assert (19 * 64) // num_groups > intergroup_distance
+        start_hash = VideoHash.random_hash(rng)
+        current = 0
+        self.groups = []
+        for _ in range(num_groups):
+            gstart = start_hash.hash_with_spatial_distance(current, rng)
+            current += intergroup_distance
+            self.groups.append(
+                HashesWithDistance(gstart, intragroup_distance, hashes_per_group, rng)
+            )
+            hashes_per_group += 10
+
+    def all_members(self, rng):
+        out = [m for g in self.groups for m in g.shuffled_members(rng)]
+        rng.shuffle(out)
+        return out
+
+
+def _named(hashes):
+    """Give each hash a unique src_path so groups are inspectable."""
+    return [h.with_src_path(f"/v/{i:05}.mp4") for i, h in enumerate(hashes)]
+
+
+def test_searching_nothing_returns_empty_vec():
+    assert search([], 1.0) == []
+
+
+def test_find_dups_finds_a_known_group():
+    rng = np.random.default_rng(1)
+    intra = 100
+    groups = HashesWithDistanceSet(1, 50, intra * 2 + 1, intra, rng)
+    members = _named(groups.all_members(rng))
+    dups = search(members, (intra * 2) / TOLERANCE_SCALING_FACTOR)
+    assert len(dups) == 1
+    assert len(dups[0]) == 50
+
+
+def test_find_dups_discriminates_by_duration():
+    rng = np.random.default_rng(2)
+    intra = 100
+    groups = HashesWithDistanceSet(1, 100, intra * 2 + 1, intra, rng)
+    short_group = [
+        h.with_duration(50) for h in groups.groups[0].shuffled_members(rng)
+    ]
+    long_group = [h.with_duration(250) for h in short_group[:50]]
+    all_hashes = _named(short_group + long_group)
+    rng.shuffle(all_hashes)
+    dups = search(all_hashes, (intra * 2) / TOLERANCE_SCALING_FACTOR)
+    dups.sort(key=len)
+    assert len(dups) == 2
+    assert len(dups[1]) == 100
+    assert len(dups[0]) == 50
+
+
+def test_find_dups_discriminates_by_distance():
+    rng = np.random.default_rng(3)
+    hash_groups = HashesWithDistanceSet(2, 100, 150, 50, rng)
+    all_hashes = _named(hash_groups.all_members(rng))
+    dups = search(all_hashes, (50 * 2) / TOLERANCE_SCALING_FACTOR)
+    dups.sort(key=len)
+    assert len(dups) == 2
+    assert len(dups[0]) == 100
+    assert len(dups[1]) == 110
+
+
+def test_find_with_refs():
+    rng = np.random.default_rng(4)
+    hash_groups = HashesWithDistanceSet(5, 100, 150, 50, rng)
+    start_hash = hash_groups.groups[3].start_hash
+    cand_hashes = _named(hash_groups.all_members(rng))
+    assert len(cand_hashes) == 100 + 110 + 120 + 130 + 140
+    dups = search_with_references(
+        [start_hash], cand_hashes, 50 / TOLERANCE_SCALING_FACTOR
+    )
+    assert len(dups) == 1
+    assert len(dups[0]) == 130
+
+    start_hashes = [
+        hash_groups.groups[0].start_hash,
+        hash_groups.groups[4].start_hash,
+    ]
+    dups2 = search_with_references(
+        start_hashes, cand_hashes, 50 / TOLERANCE_SCALING_FACTOR
+    )
+    assert len(dups2) == 2
+    assert len(dups2[0]) == 100
+    assert len(dups2[1]) == 140
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_backends_agree_with_naive(backend):
+    """The banded-matmul backends must reproduce the naive greedy exactly —
+    same groups, same member order."""
+    rng = np.random.default_rng(7)
+    hash_groups = HashesWithDistanceSet(3, 40, 150, 50, rng)
+    hashes = _named(hash_groups.all_members(rng))
+    # mixed durations to exercise the band mask
+    hashes = [
+        h.with_duration(int(d))
+        for h, d in zip(hashes, rng.integers(10, 2000, len(hashes)))
+    ]
+    tol = 120 / TOLERANCE_SCALING_FACTOR
+    expected = search(hashes, tol, backend="naive")
+    got = search(hashes, tol, backend=backend)
+    assert got == expected
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_backends_agree_random_durations_dense(backend):
+    """Random hashes + tight duration clusters: many band overlaps."""
+    rng = np.random.default_rng(8)
+    hashes = _named([VideoHash.random_hash(rng) for _ in range(300)])
+    hashes = [
+        h.with_duration(int(d))
+        for h, d in zip(hashes, rng.integers(100, 110, len(hashes)))
+    ]
+    tol = 0.48  # just under random-pair expected distance: some matches
+    expected = search(hashes, tol, backend="naive")
+    got = search(hashes, tol, backend=backend)
+    assert got == expected

@@ -1,0 +1,53 @@
+"""Error types for hash creation.
+
+Mirrors the reference's serializable error enum
+(``vid_dup_finder_lib/src/video_hashing/mod.rs:17-28``): errors are values that
+can be stored in the hash cache so a failing video is not re-decoded each run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class VdfError(Exception):
+    """Base class for all framework errors."""
+
+    def to_json(self) -> dict:
+        return {"kind": type(self).__name__, "msg": str(self)}
+
+    @staticmethod
+    def from_json(obj: dict) -> "VdfError":
+        kind = obj.get("kind")
+        msg = obj.get("msg", "")
+        if kind == "NotVideo":
+            return NotVideo()
+        if kind == "NotEnoughFrames":
+            return NotEnoughFrames()
+        return VidProc(msg)
+
+
+@dataclass
+class NotVideo(VdfError):
+    """The file is not a video (ffprobe found no video stream)."""
+
+    def __post_init__(self) -> None:
+        super().__init__("not a video file")
+
+
+@dataclass
+class VidProc(VdfError):
+    """An error occurred while processing the video."""
+
+    msg: str = field(default="")
+
+    def __post_init__(self) -> None:
+        super().__init__(self.msg)
+
+
+@dataclass
+class NotEnoughFrames(VdfError):
+    """Fewer than DCT_SIZE frames could be decoded."""
+
+    def __post_init__(self) -> None:
+        super().__init__("video file does not contain enough frames")

@@ -1,0 +1,249 @@
+"""Hamming-distance kernels over bit-packed hash matrices.
+
+TPU-native design: instead of translating the reference's per-pair
+XOR+POPCNT scalar loop (``video_hash.rs:311-317``), distances ride the MXU.
+A 1000-bit hash becomes a length-1024 vector over {-1, 0, +1} (int8; the 24
+pad bits are 0), and for hashes a, b:
+
+    dot(a_pm, b_pm) = #agreeing bits - #disagreeing bits = 1000 - 2 * hamming
+
+so a tile of pairwise distances is one int8 matmul with exact int32
+accumulation — hundreds of Tops/s on the MXU versus a VPU popcount loop.
+Duration windowing (the reference's two-pointer sweep) becomes a banded
+block iteration: hashes are sorted by duration, so each row's candidate
+window is a contiguous column range, and whole blocks outside the band are
+never touched.
+
+The ``host`` backend mirrors the same math in NumPy (f32 BLAS dot; exact,
+since all values are small integers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..definitions import HASH_BITS, HASH_BITS_PADDED
+
+_BIT_SHIFTS = np.arange(32, dtype=np.uint32)
+
+
+def unpack_pm1_host(packed: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """uint32[N, 32] -> {-1, 0, +1}[N, 1024]; pad bits (>=1000) are 0."""
+    n = packed.shape[0]
+    bits = (packed[:, :, None] >> _BIT_SHIFTS[None, None, :]) & np.uint32(1)
+    pm = (bits.astype(np.int8) * 2 - 1).reshape(n, HASH_BITS_PADDED)
+    pm[:, HASH_BITS:] = 0
+    return pm.astype(dtype)
+
+
+def hamming_matrix_host(packed_a: np.ndarray, packed_b: np.ndarray) -> np.ndarray:
+    """Dense pairwise Hamming distances via XOR+popcount (small inputs)."""
+    x = packed_a[:, None, :] ^ packed_b[None, :, :]
+    return np.bitwise_count(x).sum(axis=2).astype(np.int64)
+
+
+def _pairs_from_block(
+    adj: np.ndarray, r0: int, c0: int
+) -> tuple[np.ndarray, np.ndarray]:
+    ii, jj = np.nonzero(adj)
+    return ii.astype(np.int64) + r0, jj.astype(np.int64) + c0
+
+
+def banded_adjacency_host(
+    packed: np.ndarray,
+    bounds: np.ndarray,
+    tolerance_int: int,
+    row_block: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All pairs (i, j), i < j < bounds[i], with hamming <= tolerance_int.
+
+    NumPy implementation of the banded block sweep: exact-integer f32 dot.
+    """
+    n = packed.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pm = unpack_pm1_host(packed)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for r0 in range(0, n, row_block):
+        r1 = min(r0 + row_block, n)
+        c0 = r0 + 1
+        c1 = int(bounds[r0:r1].max())
+        if c1 <= c0:
+            continue
+        dot = pm[r0:r1] @ pm[c0:c1].T  # exact: integers < 2^24 in f32
+        dist = (HASH_BITS - dot) * 0.5
+        rows = np.arange(r0, r1)[:, None]
+        cols = np.arange(c0, c1)[None, :]
+        adj = (
+            (dist <= tolerance_int)
+            & (cols > rows)
+            & (cols < bounds[r0:r1, None])
+        )
+        if adj.any():
+            ii, jj = _pairs_from_block(adj, r0, c0)
+            out_i.append(ii)
+            out_j.append(jj)
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+# -- device (JAX) path --------------------------------------------------------
+
+
+def _get_device_fns():
+    """Build (lazily) the jitted device kernels.  Import of jax is deferred
+    so host-only callers never touch it."""
+    global _DEVICE_FNS
+    try:
+        return _DEVICE_FNS
+    except NameError:
+        pass
+    import jax
+    import jax.numpy as jnp
+
+    def unpack_pm1(packed):
+        """uint32[K, 32] -> int8[K, 1024] over {-1, 0, +1}."""
+        k = packed.shape[0]
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
+        pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
+        valid = (
+            jnp.arange(HASH_BITS_PADDED, dtype=jnp.int32)[None, :] < HASH_BITS
+        )
+        return jnp.where(valid, pm, 0).astype(jnp.int8)
+
+    def block_kernel(rows_packed, cols_packed, row_ids, col_ids, row_bounds, tol):
+        """Distances for one (TM, TC) tile -> bitpacked adjacency + count."""
+        a = unpack_pm1(rows_packed)
+        b = unpack_pm1(cols_packed)
+        dot = jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dist = (HASH_BITS - dot) // 2
+        adj = (
+            (dist <= tol)
+            & (col_ids[None, :] > row_ids[:, None])
+            & (col_ids[None, :] < row_bounds[:, None])
+        )
+        count = jnp.sum(adj, dtype=jnp.int32)
+        tm, tc = adj.shape
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+        packed_adj = jnp.sum(
+            adj.reshape(tm, tc // 32, 32).astype(jnp.uint32) * weights,
+            axis=-1,
+            dtype=jnp.uint32,
+        )
+        return packed_adj, count
+
+    _DEVICE_FNS = {
+        "block_kernel": jax.jit(block_kernel),
+        "unpack_pm1": jax.jit(unpack_pm1),
+    }
+    return _DEVICE_FNS
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def banded_adjacency_device(
+    packed: np.ndarray,
+    bounds: np.ndarray,
+    tolerance_int: int,
+    row_block: int = 8192,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Device (TPU) banded adjacency sweep.
+
+    One jit-compiled tile kernel is reused across all blocks (shapes are
+    bucketed to fixed sizes to avoid recompiles).  Only the per-tile match
+    *count* is fetched eagerly; the bitpacked adjacency tile is transferred
+    to host only when non-empty — on real libraries almost all tiles are.
+    """
+    import jax.numpy as jnp
+
+    n = packed.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    fns = _get_device_fns()
+    kernel = fns["block_kernel"]
+    bounds = np.asarray(bounds, dtype=np.int64)
+
+    # Fixed column-tile width: max band width over row blocks, bucketed, so a
+    # single compiled kernel covers every tile.
+    max_band = 128
+    for r0 in range(0, n, row_block):
+        r1 = min(r0 + row_block, n)
+        band = int(bounds[r0:r1].max()) - (r0 + 1)
+        max_band = max(max_band, band)
+    tc = _round_up(min(max_band, row_block), 128)
+
+    # Pad the device-resident matrix so any [c0, c0+tc) slice is in bounds.
+    n_pad = _round_up(n, 128) + tc
+    packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
+    packed_pad[:n] = packed
+    dev_packed = jnp.asarray(packed_pad)
+
+    tm = _round_up(min(row_block, n), 128)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for r0 in range(0, n, row_block):
+        r1 = min(r0 + row_block, n)
+        rows = dev_packed[r0 : r0 + tm]
+        row_ids = np.full(tm, -1, dtype=np.int32)
+        row_ids[: r1 - r0] = np.arange(r0, r1)
+        rb = np.full(tm, -1, dtype=np.int32)
+        rb[: r1 - r0] = np.minimum(bounds[r0:r1], n)
+        row_ids_d = jnp.asarray(row_ids)
+        rb_d = jnp.asarray(rb)
+
+        c_end = int(bounds[r0:r1].max())
+        c0 = r0 + 1
+        while c0 < c_end:
+            cols = dev_packed[c0 : c0 + tc]
+            col_ids = np.arange(c0, c0 + tc, dtype=np.int64)
+            col_ids_np = np.where(col_ids < n, col_ids, -(10**9)).astype(
+                np.int32
+            )
+            packed_adj, count = kernel(
+                rows, cols, row_ids_d, jnp.asarray(col_ids_np), rb_d,
+                np.int32(tolerance_int),
+            )
+            if int(count) > 0:
+                adj_bits = np.asarray(packed_adj)
+                # unpack uint32 tile back to booleans (cheap: tiles sparse)
+                bits = (
+                    (adj_bits[:, :, None] >> _BIT_SHIFTS[None, None, :]) & 1
+                ).reshape(tm, tc).astype(bool)
+                ii, jj = np.nonzero(bits)
+                out_i.append(row_ids[ii].astype(np.int64))
+                out_j.append(col_ids_np[jj].astype(np.int64))
+            c0 += tc
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    order = np.lexsort((jj, ii))
+    return ii[order], jj[order]
+
+
+def banded_adjacency(
+    packed: np.ndarray,
+    bounds: np.ndarray,
+    tolerance_int: int,
+    backend: str = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch to host or device banded adjacency."""
+    if backend == "host":
+        return banded_adjacency_host(packed, bounds, tolerance_int)
+    if backend == "device":
+        return banded_adjacency_device(packed, bounds, tolerance_int)
+    # auto
+    try:
+        return banded_adjacency_device(packed, bounds, tolerance_int)
+    except Exception:
+        return banded_adjacency_host(packed, bounds, tolerance_int)

@@ -1,0 +1,250 @@
+"""Duplicate search: the public ``search`` / ``search_with_references`` API.
+
+Semantics are an exact behavioral port of the reference's greedy search
+(``vid_dup_finder_lib/src/video_hashing/search_algorithm.rs`` and
+``video_dup_finder.rs``):
+
+* entries are sorted by ``(duration, src_path)`` (bytewise path order) for
+  determinism;
+* ``search_self`` sweeps a two-pointer duration window (rhs advances while
+  ``duration <= int(lhs_duration * 1.1)``), each target greedily consumes
+  unmatched candidates within ``int(tolerance * 1000)`` Hamming distance;
+* ``search_with_references`` uses a symmetric ``[int(0.95 d), int(1.05 d)]``
+  window and does not consume candidates.
+
+The TPU acceleration keeps these semantics bit-for-bit: the device computes
+the *adjacency* (which pairs are within tolerance) with a tiled plus/minus-one
+MXU matmul kernel, and the greedy pass is replayed on host in the reference's
+sort order over that adjacency (SURVEY.md section 3.2).  Because durations
+are sorted, the reference's matched-entry skipping in ``advance_rhs`` never
+changes the candidate set, so replaying over a precomputed duration-windowed
+adjacency is exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from .definitions import (
+    REF_SEARCH_DURATION_HI,
+    REF_SEARCH_DURATION_LO,
+    SELF_SEARCH_DURATION_FACTOR,
+    TOLERANCE_SCALING_FACTOR,
+)
+from .match_group import MatchGroup, TooFewEntries
+from .video_hash import VideoHash, hashes_to_matrix
+
+# Auto backend: use the device (JAX) distance kernel above this many entries.
+_DEVICE_SEARCH_THRESHOLD = 4096
+
+
+def _sort_key(h: VideoHash):
+    # search_algorithm.rs:54-60 — (duration, src_path); PathBuf compares
+    # bytewise, which os.fsencode reproduces for any unicode path.
+    return (h.duration, os.fsencode(h.src_path))
+
+
+def _tolerance_int(tolerance: float) -> int:
+    # `(tolerance * 1000.0) as u32` — Rust float->u32 casts saturate at 0.
+    return max(0, int(tolerance * TOLERANCE_SCALING_FACTOR))
+
+
+class Search:
+    """Sorted hash store for duplicate searches (search_algorithm.rs:19-199)."""
+
+    def __init__(self, hashes: Iterable[VideoHash] = ()):  # Search::from + seed
+        self.entries: list[VideoHash] = sorted(hashes, key=_sort_key)
+        self.matched = np.zeros(len(self.entries), dtype=bool)
+        self._durations = np.array(
+            [e.duration for e in self.entries], dtype=np.int64
+        )
+        self._adjacency: list[np.ndarray] | None = None
+        self._tol_of_adjacency: int | None = None
+
+    def seed(self, new_entries: Iterable[VideoHash]) -> None:
+        self.entries = sorted(
+            list(self.entries) + list(new_entries), key=_sort_key
+        )
+        self.matched = np.zeros(len(self.entries), dtype=bool)
+        self._durations = np.array(
+            [e.duration for e in self.entries], dtype=np.int64
+        )
+        self._adjacency = None
+
+    # -- distance plumbing ---------------------------------------------------
+
+    def _distance(self, i: int, j: int) -> int:
+        return self.entries[i].hamming_distance(self.entries[j])
+
+    def _ensure_adjacency(self, tolerance_int: int, backend: str) -> None:
+        """Precompute, for every entry i, the sorted candidate indices j > i
+        within the self-search duration window and Hamming tolerance."""
+        if (
+            self._adjacency is not None
+            and self._tol_of_adjacency == tolerance_int
+        ):
+            return
+        from .ops.hamming import banded_adjacency
+
+        n = len(self.entries)
+        bounds = self._self_search_bounds()
+        pairs_i, pairs_j = banded_adjacency(
+            hashes_to_matrix(self.entries),
+            bounds,
+            tolerance_int,
+            backend=backend,
+        )
+        adjacency: list[list[int]] = [[] for _ in range(n)]
+        for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
+            adjacency[i].append(j)
+        self._adjacency = [np.array(a, dtype=np.int64) for a in adjacency]
+        self._tol_of_adjacency = tolerance_int
+
+    def _self_search_bounds(self) -> np.ndarray:
+        """For each i, the exclusive upper index bound of the +10% duration
+        window (search_algorithm.rs:99)."""
+        thresh = (
+            self._durations.astype(np.float64) * SELF_SEARCH_DURATION_FACTOR
+        ).astype(np.int64)  # trunc, like `as u32`
+        return np.searchsorted(self._durations, thresh, side="right")
+
+    # -- searches ----------------------------------------------------------------
+
+    def search_self(self, tolerance: float, backend: str = "auto") -> list[list[str]]:
+        """All-pairs greedy dedup (search_algorithm.rs:81-171)."""
+        n = len(self.entries)
+        if n == 0:
+            return []
+        tol = _tolerance_int(tolerance)
+
+        use_adjacency = backend != "naive" and (
+            backend in ("device", "host")
+            or n >= _DEVICE_SEARCH_THRESHOLD
+        )
+        if use_adjacency:
+            self._ensure_adjacency(tol, backend)
+
+        bounds = self._self_search_bounds()
+        matched = self.matched
+        ret: list[list[str]] = []
+        for lhs in range(n):
+            if matched[lhs]:
+                continue
+            matched[lhs] = True
+            match_vec: list[str] = []
+            if use_adjacency:
+                assert self._adjacency is not None
+                cands = self._adjacency[lhs]
+            else:
+                cands = range(lhs + 1, int(bounds[lhs]))
+            for j in cands:
+                if matched[j]:
+                    continue
+                if use_adjacency or self._distance(lhs, int(j)) <= tol:
+                    match_vec.append(self.entries[int(j)].src_path)
+                    matched[j] = True
+            if match_vec:
+                match_vec.append(self.entries[lhs].src_path)
+                ret.append(match_vec)
+        ret.reverse()  # search_algorithm.rs:136,167
+        return ret
+
+    def _duration_slice(self, duration_secs: int) -> tuple[int, int]:
+        """[0.95 d, 1.05 d] window bounds (search_algorithm.rs:173-185)."""
+        lo = int(float(duration_secs) * REF_SEARCH_DURATION_LO)
+        hi = int(float(duration_secs) * REF_SEARCH_DURATION_HI)
+        lhs = int(np.searchsorted(self._durations, lo, side="left"))
+        rhs = int(np.searchsorted(self._durations, hi, side="right"))
+        return lhs, rhs
+
+    def search_one(
+        self, target: VideoHash, tolerance: float, consume: bool
+    ) -> list[str]:
+        """(search_algorithm.rs:63-77)"""
+        tol = _tolerance_int(tolerance)
+        lhs, rhs = self._duration_slice(target.duration)
+        ret: list[str] = []
+        if rhs > lhs:
+            dists = _distances_one_to_many(
+                target, self.entries[lhs:rhs]
+            )
+            for off, d in enumerate(dists):
+                j = lhs + off
+                if not self.matched[j] and d <= tol:
+                    ret.append(self.entries[j].src_path)
+                    if consume:
+                        self.matched[j] = True
+        return ret
+
+    def search_with_references(
+        self, references: Sequence[VideoHash], tolerance: float, consume: bool
+    ) -> list[list[str]]:
+        return [self.search_one(r, tolerance, consume) for r in references]
+
+
+def _distances_one_to_many(
+    target: VideoHash, entries: list[VideoHash]
+) -> np.ndarray:
+    if not entries:
+        return np.zeros(0, dtype=np.int64)
+    mat = hashes_to_matrix(entries)
+    t = target.packed_u32()[None, :]
+    return np.bitwise_count(mat ^ t).sum(axis=1).astype(np.int64)
+
+
+# -- public API (video_dup_finder.rs:7-46) -------------------------------------
+
+
+def search(
+    hashes: Iterable[VideoHash],
+    tolerance: float = None,  # type: ignore[assignment]
+    backend: str = "auto",
+) -> list[MatchGroup]:
+    """Search for duplicates within ``hashes``; groups of mutual duplicates.
+
+    Parity: ``vid_dup_finder_lib::search`` (video_dup_finder.rs:7-13).
+    """
+    if tolerance is None:
+        from .definitions import DEFAULT_SEARCH_TOLERANCE
+
+        tolerance = DEFAULT_SEARCH_TOLERANCE
+    groups = Search(hashes).search_self(tolerance, backend=backend)
+    out = []
+    for g in groups:
+        try:
+            out.append(MatchGroup.new(g))
+        except TooFewEntries:
+            pass
+    return out
+
+
+def search_with_references(
+    ref_hashes: Iterable[VideoHash],
+    new_hashes: Iterable[VideoHash],
+    tolerance: float = None,  # type: ignore[assignment]
+) -> list[MatchGroup]:
+    """Find, per reference video, its duplicates among ``new_hashes``.
+
+    Parity: ``vid_dup_finder_lib::search_with_references``
+    (video_dup_finder.rs:19-46) — one reference at a time, non-consuming.
+    """
+    if tolerance is None:
+        from .definitions import DEFAULT_SEARCH_TOLERANCE
+
+        tolerance = DEFAULT_SEARCH_TOLERANCE
+    s = Search(new_hashes)
+    out: list[MatchGroup] = []
+    for ref_hash in ref_hashes:
+        result = s.search_with_references([ref_hash], tolerance, consume=False)
+        matches = result[0]
+        if matches:
+            try:
+                out.append(
+                    MatchGroup.new_with_reference(ref_hash.src_path, matches)
+                )
+            except TooFewEntries:
+                pass
+    return out

@@ -1,0 +1,184 @@
+"""The ``VideoHash`` value type.
+
+Behavioral port of the reference's hash value
+(``vid_dup_finder_lib/src/video_hashing/video_hash.rs:27-229``): 1000 bits of
+sign-quantized 3D-DCT coefficients packed LSB-first, plus the source path and
+the duration in whole seconds.
+
+Packing convention (identical to the reference's
+``BitArray<[usize; 16], Lsb0>``): hash bit ``i`` lives in 64-bit word
+``i // 64`` at bit position ``i % 64``.  The device-side format is the same
+bitstream viewed as 32 little-endian ``uint32`` words, so conversion is a
+pure ``view`` with no bit shuffling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from .definitions import (
+    HASH_BITS,
+    HASH_SIZE,
+    HASH_WORDS,
+    HASH_WORDS32,
+    TOLERANCE_SCALING_FACTOR,
+)
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Pack a boolean vector of length >= HASH_BITS (extra ignored) into
+    uint64[HASH_WORDS], LSB-first within each word."""
+    bits = np.asarray(bits, dtype=np.uint8)[:HASH_BITS]
+    padded = np.zeros(HASH_WORDS * 64, dtype=np.uint8)
+    padded[: bits.size] = bits
+    # np.packbits packs MSB-first per byte; request little bit order for Lsb0.
+    as_bytes = np.packbits(padded, bitorder="little")
+    return as_bytes.view("<u8").copy()
+
+
+def unpack_bits(words: np.ndarray) -> np.ndarray:
+    """Inverse of pack_bits: uint64[HASH_WORDS] -> bool[HASH_BITS]."""
+    as_bytes = np.asarray(words, dtype="<u8").tobytes()
+    bits = np.unpackbits(np.frombuffer(as_bytes, dtype=np.uint8), bitorder="little")
+    return bits[:HASH_BITS].astype(bool)
+
+
+@dataclass(frozen=True)
+class VideoHash:
+    """A perceptual hash of one video file."""
+
+    hash: np.ndarray = field(
+        default_factory=lambda: np.zeros(HASH_WORDS, dtype=np.uint64)
+    )  # uint64[16], Lsb0 packing
+    src_path: str = ""
+    duration: int = 0  # whole seconds (u32 truncation in the reference)
+
+    def __post_init__(self) -> None:
+        h = np.asarray(self.hash, dtype=np.uint64)
+        assert h.shape == (HASH_WORDS,)
+        h.setflags(write=False)
+        object.__setattr__(self, "hash", h)
+
+    # -- equality / ordering / hashing --------------------------------------
+
+    def _key(self):
+        return (self.hash.tobytes(), self.src_path, self.duration)
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, VideoHash):
+            return NotImplemented
+        return self._key() == other._key()
+
+    def __hash__(self) -> int:
+        return hash(self._key())
+
+    # -- metric --------------------------------------------------------------
+
+    def hamming_distance(self, other: "VideoHash") -> int:
+        """Per-word XOR + popcount (video_hash.rs:190-192,311-317)."""
+        return int(np.bitwise_count(self.hash ^ other.hash).sum())
+
+    def normalized_hamming_distance(self, other: "VideoHash") -> float:
+        """Raw distance scaled into [0, 1] (video_hash.rs:200-204)."""
+        return self.hamming_distance(other) / TOLERANCE_SCALING_FACTOR
+
+    # -- accessors -------------------------------------------------------------
+
+    def raw_hash(self) -> Iterator[bool]:
+        """Iterate the 1000 raw hash bits (video_hash.rs:206-218)."""
+        return iter(unpack_bits(self.hash).tolist())
+
+    def hash_bits(self) -> np.ndarray:
+        """The 1000 hash bits as a bool vector (video_hash.rs:226-229)."""
+        return unpack_bits(self.hash)
+
+    @staticmethod
+    def hash_frame_dimensions() -> tuple[int, int]:
+        return (HASH_SIZE, HASH_SIZE)
+
+    # -- conversions -------------------------------------------------------------
+
+    def packed_u32(self) -> np.ndarray:
+        """Device packing: the same bitstream as uint32[32] little-endian."""
+        return self.hash.view("<u4").copy()
+
+    @staticmethod
+    def from_packed_u32(
+        words32: np.ndarray, src_path: str = "", duration: int = 0
+    ) -> "VideoHash":
+        w = np.asarray(words32, dtype="<u4")
+        assert w.shape == (HASH_WORDS32,)
+        return VideoHash(w.view("<u8").copy(), src_path, duration)
+
+    @staticmethod
+    def from_bits(
+        bits: np.ndarray | Iterable[bool], src_path: str = "", duration: int = 0
+    ) -> "VideoHash":
+        return VideoHash(pack_bits(np.fromiter(bits, dtype=np.uint8, count=-1)
+                                   if not isinstance(bits, np.ndarray) else bits),
+                         src_path, duration)
+
+    # -- serde (cache format) ----------------------------------------------------
+
+    def to_json(self) -> dict:
+        return {
+            "hash": [int(w) for w in self.hash],
+            "src_path": self.src_path,
+            "duration": int(self.duration),
+        }
+
+    @staticmethod
+    def from_json(obj: dict) -> "VideoHash":
+        return VideoHash(
+            np.array(obj["hash"], dtype=np.uint64), obj["src_path"], int(obj["duration"])
+        )
+
+    # -- test utilities (video_hash.rs test_util, :240-308) ------------------------
+
+    def with_duration(self, duration: int) -> "VideoHash":
+        return replace(self, duration=duration)
+
+    def with_src_path(self, src_path: str) -> "VideoHash":
+        return replace(self, src_path=src_path)
+
+    @staticmethod
+    def empty_hash(name: str = "") -> "VideoHash":
+        return VideoHash(np.zeros(HASH_WORDS, dtype=np.uint64), name, 0)
+
+    @staticmethod
+    def full_hash(name: str = "") -> "VideoHash":
+        return VideoHash(np.full(HASH_WORDS, np.uint64(0xFFFFFFFFFFFFFFFF)), name, 0)
+
+    @staticmethod
+    def random_hash(rng: np.random.Generator) -> "VideoHash":
+        """1000 fair-coin bits; the 24 trailing storage bits stay zero."""
+        bits = rng.integers(0, 2, size=HASH_BITS, dtype=np.uint8)
+        return VideoHash(pack_bits(bits), "", 0)
+
+    def hash_with_spatial_distance(
+        self, target_distance: int, rng: np.random.Generator
+    ) -> "VideoHash":
+        """A hash at exactly ``target_distance`` from this one.
+
+        The reference (video_hash.rs:263-287) random-walks single-bit flips
+        over the full 1024-bit storage until the distance is hit; we flip
+        ``target_distance`` distinct random storage bits directly — the same
+        contract (exact distance, any storage bit may differ) without the
+        walk's exponential slowdown above distance 512.
+        """
+        words = self.hash.copy()
+        positions = rng.choice(HASH_WORDS * 64, size=target_distance, replace=False)
+        for p in positions:
+            words[p // 64] ^= np.uint64(1) << np.uint64(p % 64)
+        assert int(np.bitwise_count(words ^ self.hash).sum()) == target_distance
+        return VideoHash(words, self.src_path, self.duration)
+
+
+def hashes_to_matrix(hashes: list[VideoHash]) -> np.ndarray:
+    """Stack hashes into the device search format uint32[N, 32]."""
+    if not hashes:
+        return np.zeros((0, HASH_WORDS32), dtype=np.uint32)
+    return np.stack([h.packed_u32() for h in hashes])
