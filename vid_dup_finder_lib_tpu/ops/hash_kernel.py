@@ -1,0 +1,75 @@
+"""Device (JAX/XLA) hash kernel: batched 3D-DCT sign hashing.
+
+TPU-native replacement for the reference's per-video ``Dct3d`` path
+(``dct_3d.rs`` + ``raw_dct_ops.rs:107-142``): instead of rustdct rows +
+materialized transposes per video, a whole batch of 16x16x16 frame cubes is
+hashed in one XLA program — three batched 16x16 matmuls (one per cube axis,
+they ride the MXU), sign, and a bitpack matmul, all fused by XLA.
+
+Precision: the reference computes in f64; TPU matmuls here are f32 (exact
+inputs: integer pixel values and f64-rounded cosines).  Signs can differ
+from the golden f64 model only where a coefficient is within f32 rounding
+of zero — empirically <0.05% of bits on random inputs, absorbed by the
+search tolerance (BASELINE.md defines parity at the dup-group level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..definitions import DCT_SIZE, HASH_BITS, HASH_BITS_PADDED, HASH_SIZE
+from .golden import dct2_matrix
+
+
+def _build():
+    import jax
+    import jax.numpy as jnp
+
+    dct = jnp.asarray(dct2_matrix(DCT_SIZE, np.float32))
+
+    def hash_cubes(frames: jax.Array) -> jax.Array:
+        """uint8[B, 16, 16, 16] frame stacks (t, row, col) -> uint32[B, 32].
+
+        Matches the golden model: cube[t, x, y] = frame[t, y, x] - 128
+        (the reference transposes each frame into the cube, dct_3d.rs:40-44),
+        DCT-II along each axis, sign of the 10x10x10 corner, Lsb0 bitpack.
+        """
+        x = frames.astype(jnp.float32).transpose(0, 1, 3, 2) - 128.0
+        # DCT along each cube axis: y, x, t (order irrelevant).
+        x = jnp.einsum("ky,btxy->btxk", dct, x)
+        x = jnp.einsum("jx,btxk->btjk", dct, x)
+        x = jnp.einsum("it,btjk->bijk", dct, x)
+        corner = x[:, :HASH_SIZE, :HASH_SIZE, :HASH_SIZE]
+        bits = (corner > 0.0).reshape(frames.shape[0], HASH_BITS)
+        padded = jnp.pad(bits, ((0, 0), (0, HASH_BITS_PADDED - HASH_BITS)))
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+        return jnp.sum(
+            padded.reshape(frames.shape[0], HASH_BITS_PADDED // 32, 32).astype(
+                jnp.uint32
+            )
+            * weights,
+            axis=-1,
+            dtype=jnp.uint32,
+        )
+
+    return jax.jit(hash_cubes)
+
+
+_HASH_CUBES = None
+
+
+def hash_cubes_device(frames16: np.ndarray) -> np.ndarray:
+    """Hash a batch of uint8[B, 16, 16, 16] cubes on the default device.
+
+    Returns packed uint32[B, 32] as a NumPy array.
+    """
+    global _HASH_CUBES
+    if _HASH_CUBES is None:
+        _HASH_CUBES = _build()
+    frames16 = np.ascontiguousarray(frames16, dtype=np.uint8)
+    assert frames16.ndim == 4 and frames16.shape[1:] == (
+        DCT_SIZE,
+        DCT_SIZE,
+        DCT_SIZE,
+    ), frames16.shape
+    return np.asarray(_HASH_CUBES(frames16))
