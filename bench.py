@@ -1,0 +1,187 @@
+"""Headline benchmark: all-pairs Hamming dedup over a 1M-hash library.
+
+Runs the duration-banded XOR-popcount-equivalent search (tiled +/-1 MXU
+matmul Pallas kernel on TPU; XLA/NumPy fallbacks elsewhere) over a synthetic
+library with planted duplicate clusters, verifies the planted duplicates are
+found, and reports comparisons/second.
+
+Baseline: the reference (vid_dup_finder_lib) performs the same banded sweep
+as a scalar XOR+POPCNT loop on CPU (search_algorithm.rs:131-170,
+video_hash.rs:311-317).  It publishes no numbers (BASELINE.md), so the
+baseline is self-measured here: the same banded comparison work done with
+NumPy's vectorized popcount on this machine's CPU — a generous stand-in for
+the reference's single-threaded Rust loop (measured on a subsample and
+extrapolated).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: VDF_BENCH_N (library size, default 1_000_000),
+VDF_BENCH_BACKEND (pallas|device|host, default auto).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vid_dup_finder_lib_tpu.definitions import HASH_WORDS32  # noqa: E402
+from vid_dup_finder_lib_tpu.utils.jaxconfig import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+TOLERANCE_INT = 350  # default-ish tolerance in integer Hamming domain
+N_CLUSTERS = 200
+CLUSTER_SIZE = 3
+CLUSTER_RADIUS = 60  # bit flips from the cluster seed; pairwise <= 120 < 350
+
+
+def synth_library(n: int, seed: int = 0):
+    """Random hash library, sorted by duration, with planted dup clusters.
+
+    Returns (packed uint32[n, 32], durations int64[n], planted pair count).
+    """
+    rng = np.random.default_rng(seed)
+    packed = rng.integers(
+        0, 2**32, (n, HASH_WORDS32), dtype=np.uint64
+    ).astype(np.uint32)
+    # mask the 24 pad bits of the last word so distances stay in 0..1000
+    packed[:, -1] &= np.uint32(0x000000FF)
+    durations = np.sort(rng.integers(30, 7200, n))
+
+    # plant clusters: overwrite CLUSTER_SIZE consecutive rows with noisy
+    # copies of a seed hash (consecutive rows share a duration window)
+    # grid-spaced starts so cluster ranges can never overlap
+    starts = rng.choice(n // 8 - 1, N_CLUSTERS, replace=False) * 8
+    for s in starts:
+        seed_hash = packed[s].copy()
+        for k in range(1, CLUSTER_SIZE):
+            h = seed_hash.copy()
+            flips = rng.choice(1000, CLUSTER_RADIUS, replace=False)
+            for f in flips:
+                h[f // 32] ^= np.uint32(1) << np.uint32(f % 32)
+            packed[s + k] = h
+            # pulling intermediate durations down to durations[s] keeps the
+            # array sorted (following entries were already >= durations[s])
+            durations[s + k] = durations[s]
+    assert np.all(np.diff(durations) >= 0)
+    return packed, durations, starts
+
+
+def self_search_bounds(durations: np.ndarray) -> np.ndarray:
+    thresh = (durations.astype(np.float64) * 1.1).astype(np.int64)
+    return np.searchsorted(durations, thresh, side="right")
+
+
+def cpu_baseline_rate(packed, bounds, sample_rows: int = 2048) -> float:
+    """NumPy XOR+popcount over a sample of the same banded work."""
+    n = packed.shape[0]
+    r0 = n // 3
+    r1 = min(r0 + sample_rows, n)
+    c1 = int(bounds[r0:r1].max())
+    comps = int(np.sum(np.maximum(bounds[r0:r1] - np.arange(r0 + 1, r1 + 1), 0)))
+    if comps <= 0:
+        return 1.0
+    t = time.time()
+    hits = 0
+    block = 256
+    for rs in range(r0, r1, block):
+        re = min(rs + block, r1)
+        ce = int(bounds[rs:re].max())
+        if ce <= rs + 1:
+            continue
+        d = np.bitwise_count(
+            packed[rs:re, None, :] ^ packed[None, rs + 1 : ce, :]
+        ).sum(axis=2)
+        hits += int((d <= TOLERANCE_INT).sum())
+    dt = time.time() - t
+    return comps / dt
+
+
+def main() -> None:
+    enable_compilation_cache()
+    n = int(os.environ.get("VDF_BENCH_N", "1000000"))
+    backend = os.environ.get("VDF_BENCH_BACKEND", "auto")
+
+    packed, durations, starts = synth_library(n)
+    bounds = self_search_bounds(durations)
+    comps = int(np.sum(np.maximum(bounds - np.arange(1, n + 1), 0)))
+
+    from vid_dup_finder_lib_tpu.ops.hamming import (
+        banded_adjacency_device,
+        banded_adjacency_host,
+    )
+
+    def run():
+        if backend == "host":
+            return banded_adjacency_host(packed, bounds, TOLERANCE_INT)
+        if backend == "device":
+            return banded_adjacency_device(packed, bounds, TOLERANCE_INT)
+        try:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if backend == "pallas" or (backend == "auto" and on_tpu):
+            from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+                banded_adjacency_pallas,
+            )
+
+            return banded_adjacency_pallas(packed, bounds, TOLERANCE_INT)
+        return banded_adjacency_device(packed, bounds, TOLERANCE_INT)
+
+    # warm-up on a slice to trigger (cached) compilation
+    warm_n = min(4096, n)
+    wp, wb = packed[:warm_n], np.minimum(bounds[:warm_n], warm_n)
+    if backend != "host":
+        try:
+            from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+                banded_adjacency_pallas,
+            )
+
+            banded_adjacency_pallas(wp, wb, TOLERANCE_INT)
+        except Exception:
+            pass
+
+    t0 = time.time()
+    ii, jj = run()
+    dt = time.time() - t0
+
+    # sanity: every planted cluster must be recovered in the pair set
+    pair_set = set(zip(ii.tolist(), jj.tolist()))
+    missing = 0
+    for s in starts:
+        for a in range(s, s + CLUSTER_SIZE):
+            for b in range(a + 1, s + CLUSTER_SIZE):
+                if (a, b) not in pair_set:
+                    missing += 1
+    assert missing == 0, f"{missing} planted pairs missed"
+
+    base_rate = cpu_baseline_rate(packed, bounds)
+    rate = comps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"hamming_comps_per_sec@{n}",
+                "value": round(rate, 1),
+                "unit": "comparisons/s",
+                "vs_baseline": round(rate / base_rate, 2),
+            }
+        )
+    )
+    print(
+        f"# n={n} comps={comps:.4g} time={dt:.2f}s pairs={len(ii)} "
+        f"cpu_baseline={base_rate:.4g}/s backend={backend}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4: fake the mesh with xla_force_host_platform_device_count)."""
+
+import numpy as np
+import pytest
+
+from vid_dup_finder_lib_tpu.definitions import TOLERANCE_SCALING_FACTOR
+from vid_dup_finder_lib_tpu.video_hash import VideoHash, hashes_to_matrix
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from vid_dup_finder_lib_tpu.parallel import make_mesh
+
+    return make_mesh(8)
+
+
+def test_sharded_hash_matches_device_kernel(mesh8):
+    from vid_dup_finder_lib_tpu.ops.hash_kernel import hash_cubes_device
+    from vid_dup_finder_lib_tpu.parallel import sharded_hash_batch
+
+    rng = np.random.default_rng(0)
+    cubes = rng.integers(0, 256, (19, 16, 16, 16), dtype=np.uint8)
+    single = hash_cubes_device(cubes)
+    sharded = sharded_hash_batch(mesh8, cubes)
+    assert np.array_equal(single, sharded)
+
+
+def test_ring_candidate_scan_matches_host(mesh8):
+    from vid_dup_finder_lib_tpu.parallel import ring_candidate_scan
+
+    rng = np.random.default_rng(1)
+    n = 64
+    hashes = [VideoHash.random_hash(rng) for _ in range(n)]
+    durs = np.sort(rng.integers(10, 100, n)).astype(np.int64)
+    hashes = [
+        h.with_duration(int(d)).with_src_path(f"/v/{i}")
+        for i, (h, d) in enumerate(zip(hashes, durs))
+    ]
+    packed = hashes_to_matrix(hashes)
+    tol = 470
+
+    counts, best_dist, best_idx = ring_candidate_scan(
+        mesh8, packed, durs, tol
+    )
+
+    # host reference with the same window semantics
+    dist = np.bitwise_count(
+        packed[:, None, :] ^ packed[None, :, :]
+    ).sum(axis=2)
+    thresh = (durs.astype(np.float64) * 1.1).astype(np.int64)
+    jj = np.arange(n)
+    valid = (
+        (jj[None, :] > jj[:, None])
+        & (durs[None, :] <= thresh[:, None])
+        & (dist <= tol)
+    )
+    exp_counts = valid.sum(axis=1)
+    assert np.array_equal(counts, exp_counts)
+
+    masked = np.where(valid, dist, 1001)
+    exp_best = masked.min(axis=1)
+    has = exp_counts > 0
+    assert np.array_equal(best_dist[has], exp_best[has])
+    # best_idx achieves the best distance within the window
+    for i in np.flatnonzero(has):
+        assert valid[i, best_idx[i]]
+        assert dist[i, best_idx[i]] == exp_best[i]
+
+
+def test_pallas_hamming_matches_host_interpret():
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        banded_adjacency_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 300
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    durs = np.sort(rng.integers(50, 200, n))
+    bounds = np.searchsorted(
+        durs, (durs * 1.1).astype(np.int64), side="right"
+    )
+    for tol in (350, 480):
+        hi, hj = banded_adjacency_host(packed, bounds, tol)
+        pi, pj = banded_adjacency_pallas(packed, bounds, tol)
+        assert np.array_equal(hi, pi) and np.array_equal(hj, pj)
+
+
+def test_pallas_hash_matches_golden_interpret():
+    from vid_dup_finder_lib_tpu.ops.golden import hash_bits_golden
+    from vid_dup_finder_lib_tpu.ops.hash_pallas import hash_cubes_pallas
+
+    rng = np.random.default_rng(3)
+    cubes = rng.integers(0, 256, (5, 16, 16, 16), dtype=np.uint8)
+    packed = hash_cubes_pallas(cubes)
+    for i in range(cubes.shape[0]):
+        gb = hash_bits_golden(cubes[i])
+        pb = VideoHash.from_packed_u32(packed[i]).hash_bits()
+        assert int((gb != pb).sum()) == 0
+
+
+def test_search_tolerance_scaling_consistency():
+    # int(tol * 1000) truncation parity across backends
+    rng = np.random.default_rng(4)
+    base = VideoHash.random_hash(rng)
+    other = base.hash_with_spatial_distance(350, rng).with_src_path("b")
+    from vid_dup_finder_lib_tpu import search
+
+    hs = [base.with_src_path("a"), other]
+    assert len(search(hs, 350 / TOLERANCE_SCALING_FACTOR)) == 1
+    assert len(search(hs, 349.9 / TOLERANCE_SCALING_FACTOR)) == 0

@@ -1,0 +1,113 @@
+"""Path filtering + parallel directory walking.
+
+Equivalent of the reference's ``FilenamePattern``
+(``…/video_hash_filesystem_cache/filename_pattern.rs:13-144``): include
+path prefixes, exclude path prefixes, and a case-insensitive extension
+blacklist, plus a threaded directory walker streaming matching files.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from queue import Queue
+from typing import Iterator
+
+
+@dataclass(frozen=True)
+class FilenamePattern:
+    includes: tuple[str, ...] = ()
+    excludes: tuple[str, ...] = ()
+    excl_exts: tuple[str, ...] = ()  # stored lowercase with leading dot
+
+    @staticmethod
+    def new(
+        includes: list[str] | tuple[str, ...] = (),
+        excludes: list[str] | tuple[str, ...] = (),
+        excl_exts: list[str] | tuple[str, ...] = (),
+    ) -> "FilenamePattern":
+        norm_exts = tuple(
+            e.lower() if e.startswith(".") else "." + e.lower()
+            for e in excl_exts
+        )
+        return FilenamePattern(
+            tuple(os.path.abspath(p) for p in includes),
+            tuple(os.path.abspath(p) for p in excludes),
+            norm_exts,
+        )
+
+    def includes_path(self, path: str) -> bool:
+        path = os.path.abspath(path)
+        if self.includes and not any(
+            _is_under(path, inc) for inc in self.includes
+        ):
+            return False
+        if any(_is_under(path, exc) for exc in self.excludes):
+            return False
+        ext = os.path.splitext(path)[1].lower()
+        if ext in self.excl_exts:
+            return False
+        return True
+
+    def iterate_from_fs(self, workers: int = 8) -> Iterator[str]:
+        """Walk every include root in parallel, yielding matching files
+        (filename_pattern.rs:89-143's walker + bounded channel)."""
+        roots = [p for p in self.includes if os.path.exists(p)]
+        files_from_file_roots = [
+            p for p in roots if os.path.isfile(p) and self.includes_path(p)
+        ]
+        yield from files_from_file_roots
+        dir_roots = [p for p in roots if os.path.isdir(p)]
+        if not dir_roots:
+            return
+
+        q: Queue = Queue(maxsize=4096)
+        _SENTINEL = object()
+
+        def walk_root(root: str) -> None:
+            stack = [root]
+            while stack:
+                d = stack.pop()
+                try:
+                    with os.scandir(d) as it:
+                        for entry in it:
+                            try:
+                                if entry.is_dir(follow_symlinks=False):
+                                    if not any(
+                                        _is_under(entry.path, e)
+                                        for e in self.excludes
+                                    ):
+                                        stack.append(entry.path)
+                                elif entry.is_file(follow_symlinks=False):
+                                    if self.includes_path(entry.path):
+                                        q.put(entry.path)
+                            except OSError:
+                                continue
+                except OSError:
+                    continue
+
+        def run_all() -> None:
+            try:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    list(pool.map(walk_root, dir_roots))
+            finally:
+                q.put(_SENTINEL)
+
+        import threading
+
+        t = threading.Thread(target=run_all, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+
+
+def _is_under(path: str, prefix: str) -> bool:
+    try:
+        return os.path.commonpath([path, prefix]) == prefix
+    except ValueError:
+        return False

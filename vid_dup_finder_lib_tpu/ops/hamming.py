@@ -231,19 +231,39 @@ def banded_adjacency_device(
     return ii[order], jj[order]
 
 
+def _on_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def banded_adjacency(
     packed: np.ndarray,
     bounds: np.ndarray,
     tolerance_int: int,
     backend: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Dispatch to host or device banded adjacency."""
+    """Dispatch: 'pallas' (fused TPU kernel), 'device' (XLA), 'host' (NumPy).
+
+    'auto' prefers the Pallas kernel on TPU, falls back to XLA, then NumPy.
+    """
     if backend == "host":
         return banded_adjacency_host(packed, bounds, tolerance_int)
+    if backend == "pallas":
+        from .hamming_pallas import banded_adjacency_pallas
+
+        return banded_adjacency_pallas(packed, bounds, tolerance_int)
     if backend == "device":
         return banded_adjacency_device(packed, bounds, tolerance_int)
     # auto
     try:
+        if _on_tpu():
+            from .hamming_pallas import banded_adjacency_pallas
+
+            return banded_adjacency_pallas(packed, bounds, tolerance_int)
         return banded_adjacency_device(packed, bounds, tolerance_int)
     except Exception:
         return banded_adjacency_host(packed, bounds, tolerance_int)

@@ -1,0 +1,334 @@
+"""Pallas TPU kernel: tiled Hamming adjacency.
+
+One fused kernel launch covers a CHUNK of R_TILES row tiles x BAND_TILES
+column tiles, with each row tile's column window positioned independently
+via scalar prefetch (each row's duration band starts at a different column):
+
+    bf16 +/-1 operands -> MXU matmul (exact f32 accum) -> distance
+    -> tolerance + duration-window mask -> on-chip bitpack (two
+    MXU matmuls against constant 16-bit-group pack matrices, exact in f32)
+    -> int32 adjacency words (1 bit per pair) + per-tile match count
+
+Why Pallas instead of the XLA path in ``hamming.py``: the XLA kernel
+materializes the int32 distance tile in HBM (4 bytes/pair) before the
+threshold; this kernel writes 1 *bit*/pair — a 32x HBM-write saving —
+and a per-tile match count so the host only transfers tiles that actually
+contain matches (virtually none do on real libraries; device->host
+bandwidth through the tunnel is the scarcest resource here).
+
+Blocks are indexed via scalar prefetch, so the kernel DMAs row/column
+tiles straight out of the full HBM-resident +/-1 matrix with no host-side
+slicing, a 256-tile chunk runs as ONE device program (dispatch latency
+matters), and all launches share a single compiled shape (remote compiles
+cost minutes).
+
+The bitpack is transposed — output word [r, c] packs rows r*32..r*32+31 of
+column c — keeping the lane dimension at TILE_N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..definitions import HASH_BITS, HASH_BITS_PADDED
+
+TILE_M = 512  # row tile (VMEM-bounded: dist + adj tiles are TILE_M x TILE_N)
+TILE_N = 1024
+R_TILES = 16  # row tiles per launch
+BAND_TILES = 16  # column tiles per row tile per launch
+
+
+def _is_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.cache
+def _build_chunk(interpret: bool):
+    """Compiled sweep of R_TILES row tiles x BAND_TILES column tiles.
+
+    scalars (int32[3 + R_TILES]):
+      [0] tolerance, [1] n, [2] first row-tile index,
+      [3 + i] first column-tile index for row tile i.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, out_ref, count_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        tol = scal_ref[0]
+        n = scal_ref[1]
+        r0 = (scal_ref[2] + i) * TILE_M
+        c0 = (scal_ref[3 + i] + j) * TILE_N
+
+        a = rows_ref[...]  # [TILE_M, 1024] bf16 in {-1, 0, +1}
+        b = cols_ref[...]  # [TILE_N, 1024] bf16
+        # bf16 x bf16 -> f32 rides the MXU natively; +/-1 operands with
+        # <= 1000 terms keep every sum exact in f32.
+        dot = jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dist = ((HASH_BITS - dot) * 0.5).astype(jnp.int32)
+
+        # narrow index vectors broadcast against the tile (full [M, N] int32
+        # index matrices would blow the VMEM budget)
+        row_ids = r0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_M, 1), 0)
+        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_N), 1)
+        bounds = bounds_ref[...]  # [TILE_M, 1]
+        col_limit = jnp.minimum(bounds, n)  # [TILE_M, 1]
+        adj = (
+            (dist <= tol)
+            & (col_ids > row_ids)
+            & (col_ids < col_limit)
+            & (row_ids < n)
+        )
+        count_ref[i, j] = jnp.sum(adj.astype(jnp.int32))
+
+        # Transposed bitpack via MXU: word [r, c] collects rows r*32..r*32+31
+        # of column c.  Two 16-bit-group f32 matmuls keep sums exact.
+        k_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_M // 32, TILE_M), 1
+        )
+        r_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_M // 32, TILE_M), 0
+        )
+        in_word = k_ids // 32 == r_ids
+        bitpos = k_ids % 32
+        pow_lo = jnp.where(
+            in_word & (bitpos < 16), jnp.exp2(bitpos.astype(jnp.float32)), 0.0
+        )
+        pow_hi = jnp.where(
+            in_word & (bitpos >= 16),
+            jnp.exp2((bitpos - 16).astype(jnp.float32)),
+            0.0,
+        )
+        adj_f = adj.astype(jnp.float32)
+        dims = (((1,), (0,)), ((), ()))
+        lo = jnp.round(
+            jax.lax.dot_general(
+                pow_lo, adj_f, dims,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        ).astype(jnp.int32)
+        hi = jnp.round(
+            jax.lax.dot_general(
+                pow_hi, adj_f, dims,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        ).astype(jnp.int32)
+        out_ref[0, 0] = lo | (hi << 16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R_TILES, BAND_TILES),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_M, HASH_BITS_PADDED),
+                lambda i, j, s: (s[2] + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_N, HASH_BITS_PADDED),
+                lambda i, j, s: (s[3 + i] + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_M, 1),
+                lambda i, j, s: (s[2] + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, TILE_M // 32, TILE_N),
+                lambda i, j, s: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (R_TILES, BAND_TILES),
+                lambda i, j, s: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ),
+    )
+
+    @jax.jit
+    def chunk(scalars, pm1, bounds):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (R_TILES, BAND_TILES, TILE_M // 32, TILE_N), jnp.int32
+                ),
+                jax.ShapeDtypeStruct((R_TILES, BAND_TILES), jnp.int32),
+            ),
+            interpret=interpret,
+        )(scalars, pm1, pm1, bounds)
+
+    return chunk
+
+
+def unpack_pm1_device(packed):
+    """uint32[K, 32] -> bf16[K, 1024] over {-1, 0, +1} (jitted once)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(p):
+        k = p.shape[0]
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        bits = (p[:, :, None] >> shifts) & jnp.uint32(1)
+        pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
+        valid = (
+            jnp.arange(HASH_BITS_PADDED, dtype=jnp.int32)[None, :] < HASH_BITS
+        )
+        return jnp.where(valid, pm, 0).astype(jnp.bfloat16)
+
+    return f(packed)
+
+
+@functools.cache
+def _build_concat_counts():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _concat_counts(*cs):
+        return jnp.stack(cs, axis=0)
+
+    return _concat_counts
+
+
+def _tile_bits_to_pairs(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int32[TILE_M//32, TILE_N] transposed words -> (row_off, col_off)."""
+    u = np.ascontiguousarray(words).view(np.uint32)
+    # bit b of u[r, c] = adjacency of (row r*32+b, col c)
+    bits = (
+        (u[:, None, :] >> np.arange(32, dtype=np.uint32)[None, :, None]) & 1
+    ).astype(bool)  # [TILE_M//32, 32, TILE_N]
+    rr, bb, cc = np.nonzero(bits)
+    return rr * 32 + bb, cc
+
+
+def banded_adjacency_pallas(
+    packed: np.ndarray,
+    bounds: np.ndarray,
+    tolerance_int: int,
+    interpret: bool | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Banded adjacency sweep via the Pallas chunk kernel.
+
+    Same contract as ``hamming.banded_adjacency``: all pairs (i, j) with
+    i < j < bounds[i] and hamming <= tolerance_int, lexicographic order.
+    """
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    n = packed.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+
+    n_row_tiles = -(-n // TILE_M)
+    n_row_chunks = -(-n_row_tiles // R_TILES)
+    n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+    packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
+    packed_pad[:n] = packed
+    pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
+
+    bounds_dev_np = np.full((n_pad, 1), -1, dtype=np.int32)
+    bounds_dev_np[:n, 0] = np.minimum(bounds, n)
+    bounds_dev = jnp.asarray(bounds_dev_np)
+
+    # per row tile: first col tile of the band + number of col tiles
+    first_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
+    n_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
+    max_ct = (n_pad - TILE_N) // TILE_N  # last col tile fully in-bounds
+    for rt in range(n_row_chunks * R_TILES):
+        r0 = rt * TILE_M
+        r1 = min(r0 + TILE_M, n)
+        if r0 >= n:
+            first_ct[rt] = 0
+            n_ct[rt] = 0
+            continue
+        c_end = int(bounds[r0:r1].max())
+        ct0 = (r0 + 1) // TILE_N
+        first_ct[rt] = ct0
+        n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
+
+    fn = _build_chunk(interpret)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    pending: list[tuple[np.ndarray, np.ndarray, object, object]] = []
+    # 16 launches x 256 tiles x 64 KB = 256 MB of device-resident output
+    max_pending_calls = 16
+    _concat_counts = _build_concat_counts()
+    zero_counts = jnp.zeros((R_TILES, BAND_TILES), jnp.int32)
+
+    def drain() -> None:
+        nonlocal pending
+        if not pending:
+            return
+        # One batched d2h for ALL counts (fixed-arity stack: one compile;
+        # per-transfer latency through the tunnel is ~50 ms).
+        cs = [c for (_, _, _, c) in pending]
+        cs = cs + [zero_counts] * (max_pending_calls - len(cs))
+        counts_all = np.asarray(_concat_counts(*cs))
+        for idx, (rts, cts, packed_out, _c) in enumerate(pending):
+            counts_np = counts_all[idx]
+            for i, j in zip(*np.nonzero(counts_np > 0)):
+                roff, coff = _tile_bits_to_pairs(
+                    np.asarray(packed_out[i, j])
+                )
+                out_i.append(roff.astype(np.int64) + rts[i] * TILE_M)
+                out_j.append(
+                    coff.astype(np.int64) + (cts[i] + j) * TILE_N
+                )
+        pending = []
+
+    for chunk_idx in range(n_row_chunks):
+        rt0 = chunk_idx * R_TILES
+        rts = np.arange(rt0, rt0 + R_TILES)
+        remaining = n_ct[rts].copy()
+        starts = first_ct[rts].copy()
+        while np.any(remaining > 0):
+            # rows whose band is exhausted keep pointing past their band end
+            # (clamped in-bounds): the col_ids < bounds mask empties them.
+            cur = np.minimum(starts, max_ct - BAND_TILES).astype(np.int64)
+            scalars = np.empty(3 + R_TILES, dtype=np.int32)
+            scalars[0] = tolerance_int
+            scalars[1] = n
+            scalars[2] = rt0
+            scalars[3:] = cur
+            packed_out, counts = fn(
+                jnp.asarray(scalars), pm1, bounds_dev
+            )
+            pending.append((rts, cur, packed_out, counts))
+            if len(pending) >= max_pending_calls:
+                drain()
+            starts = starts + BAND_TILES
+            remaining = remaining - BAND_TILES
+
+    drain()
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    order = np.lexsort((jj, ii))
+    return ii[order], jj[order]
