@@ -62,7 +62,8 @@ def _build_chunk(interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, out_ref, count_ref):
+    def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, pow_lo_ref,
+               pow_hi_ref, out_ref, count_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         tol = scal_ref[0]
@@ -96,23 +97,12 @@ def _build_chunk(interpret: bool):
         count_ref[i, j] = jnp.sum(adj.astype(jnp.int32))
 
         # Transposed bitpack via MXU: word [r, c] collects rows r*32..r*32+31
-        # of column c.  Two 16-bit-group f32 matmuls keep sums exact.
-        k_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_M // 32, TILE_M), 1
-        )
-        r_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_M // 32, TILE_M), 0
-        )
-        in_word = k_ids // 32 == r_ids
-        bitpos = k_ids % 32
-        pow_lo = jnp.where(
-            in_word & (bitpos < 16), jnp.exp2(bitpos.astype(jnp.float32)), 0.0
-        )
-        pow_hi = jnp.where(
-            in_word & (bitpos >= 16),
-            jnp.exp2((bitpos - 16).astype(jnp.float32)),
-            0.0,
-        )
+        # of column c.  Two 16-bit-group f32 matmuls keep sums exact; the
+        # pack matrices are host-precomputed constants (building them
+        # per grid step with iota+exp2 costs ~100us of VPU transcendentals
+        # per tile and dominated the kernel).
+        pow_lo = pow_lo_ref[...]
+        pow_hi = pow_hi_ref[...]
         adj_f = adj.astype(jnp.float32)
         dims = (((1,), (0,)), ((), ()))
         lo = jnp.round(
@@ -150,6 +140,16 @@ def _build_chunk(interpret: bool):
                 lambda i, j, s: (s[2] + i, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (TILE_M // 32, TILE_M),
+                lambda i, j, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_M // 32, TILE_M),
+                lambda i, j, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -165,6 +165,8 @@ def _build_chunk(interpret: bool):
         ),
     )
 
+    pow_lo_np, pow_hi_np = _pack_matrices()
+
     @jax.jit
     def chunk(scalars, pm1, bounds):
         return pl.pallas_call(
@@ -177,9 +179,25 @@ def _build_chunk(interpret: bool):
                 jax.ShapeDtypeStruct((R_TILES, BAND_TILES), jnp.int32),
             ),
             interpret=interpret,
-        )(scalars, pm1, pm1, bounds)
+        )(
+            scalars, pm1, pm1, bounds,
+            jnp.asarray(pow_lo_np), jnp.asarray(pow_hi_np),
+        )
 
     return chunk
+
+
+@functools.cache
+def _pack_matrices() -> tuple[np.ndarray, np.ndarray]:
+    """[TILE_M//32, TILE_M] f32 transposed-bitpack operators: word r of a
+    column collects rows r*32..r*32+31, split into exact 16-bit halves."""
+    k = np.arange(TILE_M)
+    r = np.arange(TILE_M // 32)[:, None]
+    in_word = (k[None, :] // 32) == r
+    bitpos = k[None, :] % 32
+    lo = np.where(in_word & (bitpos < 16), 2.0 ** bitpos, 0.0)
+    hi = np.where(in_word & (bitpos >= 16), 2.0 ** (bitpos - 16), 0.0)
+    return lo.astype(np.float32), hi.astype(np.float32)
 
 
 def unpack_pm1_device(packed):

@@ -60,7 +60,7 @@ def _build(interpret: bool):
 
     n_k_tiles = DCT_SIZE**3 // K_TILE
 
-    def kernel(d3_ref, x_ref, out_ref, acc_ref):
+    def kernel(d3_ref, x_ref, pow_lo_ref, pow_hi_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -78,24 +78,9 @@ def _build(interpret: bool):
         def _():
             bits = (acc_ref[...] > 0.0).astype(jnp.float32)  # [1024, VB]
             # transposed bitpack: word r of video v = rows r*32..r*32+31
-            k_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (N_ROWS // 32, N_ROWS), 1
-            )
-            r_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (N_ROWS // 32, N_ROWS), 0
-            )
-            in_word = k_ids // 32 == r_ids
-            bitpos = k_ids % 32
-            pow_lo = jnp.where(
-                in_word & (bitpos < 16),
-                jnp.exp2(bitpos.astype(jnp.float32)),
-                0.0,
-            )
-            pow_hi = jnp.where(
-                in_word & (bitpos >= 16),
-                jnp.exp2((bitpos - 16).astype(jnp.float32)),
-                0.0,
-            )
+            # (pack matrices are host-precomputed constant operands)
+            pow_lo = pow_lo_ref[...]
+            pow_hi = pow_hi_ref[...]
             dims = (((1,), (0,)), ((), ()))
             lo = jnp.round(
                 jax.lax.dot_general(
@@ -113,7 +98,7 @@ def _build(interpret: bool):
             ).astype(jnp.int32)
             out_ref[...] = lo | (hi << 16)
 
-    def pallas_hash(x, d3):
+    def pallas_hash(x, d3, pow_lo, pow_hi):
         b = x.shape[1]
         grid = (b // VB, n_k_tiles)
         return pl.pallas_call(
@@ -128,6 +113,16 @@ def _build(interpret: bool):
                 pl.BlockSpec(
                     (K_TILE, VB), lambda i, k: (k, i), memory_space=pltpu.VMEM
                 ),
+                pl.BlockSpec(
+                    (N_ROWS // 32, N_ROWS),
+                    lambda i, k: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (N_ROWS // 32, N_ROWS),
+                    lambda i, k: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (N_ROWS // 32, VB), lambda i, k: (0, i),
@@ -136,7 +131,9 @@ def _build(interpret: bool):
             out_shape=jax.ShapeDtypeStruct((N_ROWS // 32, b), jnp.int32),
             scratch_shapes=[pltpu.VMEM((N_ROWS, VB), jnp.float32)],
             interpret=interpret,
-        )(d3, x)
+        )(d3, x, pow_lo, pow_hi)
+
+    pow_lo_np, pow_hi_np = _hash_pack_matrices()
 
     @jax.jit
     def hash_batch(cubes_u8, d3):
@@ -145,9 +142,23 @@ def _build(interpret: bool):
         x = cubes_u8.astype(jnp.float32) - 128.0
         # (b, t, y, x) -> rows ordered ((t*16 + x)*16 + y), batch on lanes
         x = x.transpose(1, 3, 2, 0).reshape(DCT_SIZE**3, b)
-        return pallas_hash(x, d3)
+        return pallas_hash(
+            x, d3, jnp.asarray(pow_lo_np), jnp.asarray(pow_hi_np)
+        )
 
     return hash_batch
+
+
+@functools.cache
+def _hash_pack_matrices() -> tuple[np.ndarray, np.ndarray]:
+    """[32, 1024] f32 transposed-bitpack operators (16-bit halves)."""
+    k = np.arange(N_ROWS)
+    r = np.arange(N_ROWS // 32)[:, None]
+    in_word = (k[None, :] // 32) == r
+    bitpos = k[None, :] % 32
+    lo = np.where(in_word & (bitpos < 16), 2.0 ** bitpos, 0.0)
+    hi = np.where(in_word & (bitpos >= 16), 2.0 ** (bitpos - 16), 0.0)
+    return lo.astype(np.float32), hi.astype(np.float32)
 
 
 def _is_tpu() -> bool:
