@@ -78,29 +78,47 @@ def self_search_bounds(durations: np.ndarray) -> np.ndarray:
     return np.searchsorted(durations, thresh, side="right")
 
 
-def cpu_baseline_rate(packed, bounds, sample_rows: int = 2048) -> float:
-    """NumPy XOR+popcount over a sample of the same banded work."""
+def cpu_baseline_rate(packed, bounds, sample_rows: int = 4096) -> float:
+    """Reference-equivalent CPU loop over a sample of the same banded work.
+
+    Prefers the native C++ XOR+POPCNT sweep (single thread — the reference's
+    search is single-threaded); falls back to NumPy popcount."""
     n = packed.shape[0]
     r0 = n // 3
     r1 = min(r0 + sample_rows, n)
-    c1 = int(bounds[r0:r1].max())
-    comps = int(np.sum(np.maximum(bounds[r0:r1] - np.arange(r0 + 1, r1 + 1), 0)))
+    sub = packed[r0 : int(bounds[r0:r1].max())]
+    sub_bounds = np.maximum(bounds[r0:r1] - r0, 0)[: sub.shape[0]]
+    sub_bounds = np.concatenate(
+        [sub_bounds, np.zeros(max(0, sub.shape[0] - sub_bounds.size), np.int64)]
+    )
+    comps = int(np.sum(np.maximum(sub_bounds - np.arange(1, sub.shape[0] + 1), 0)))
     if comps <= 0:
         return 1.0
+    try:
+        from vid_dup_finder_lib_tpu.native import (
+            available,
+            count_leq_native,
+        )
+
+        if available():
+            packed64 = np.ascontiguousarray(sub).view(np.uint64)
+            t = time.time()
+            count_leq_native(packed64, sub_bounds, TOLERANCE_INT, n_threads=1)
+            return comps / (time.time() - t)
+    except Exception:
+        pass
     t = time.time()
-    hits = 0
     block = 256
-    for rs in range(r0, r1, block):
-        re = min(rs + block, r1)
-        ce = int(bounds[rs:re].max())
+    for rs in range(0, sub.shape[0], block):
+        re_ = min(rs + block, sub.shape[0])
+        ce = int(sub_bounds[rs:re_].max())
         if ce <= rs + 1:
             continue
         d = np.bitwise_count(
-            packed[rs:re, None, :] ^ packed[None, rs + 1 : ce, :]
+            sub[rs:re_, None, :] ^ sub[None, rs + 1 : ce, :]
         ).sum(axis=2)
-        hits += int((d <= TOLERANCE_INT).sum())
-    dt = time.time() - t
-    return comps / dt
+        (d <= TOLERANCE_INT).sum()
+    return comps / (time.time() - t)
 
 
 def main() -> None:

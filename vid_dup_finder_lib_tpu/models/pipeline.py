@@ -1,0 +1,98 @@
+"""Batched streaming hash pipeline.
+
+The reference hashes one video per rayon task
+(``video_hash_filesystem_cache.rs:244-249``); the TPU-native pipeline
+inverts this into batched dataflow (SURVEY.md section 7.1): a host thread
+pool decodes+crops+resizes videos into fixed-shape 16x16x16 cubes, batches
+of cubes stream to the device (h2d transfer and MXU hash of batch k overlap
+with the decode of batch k+1 — JAX dispatch is asynchronous), and packed
+hashes come back 128 bytes per video.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable
+
+import numpy as np
+
+from ..errors import VdfError, VidProc
+from ..video_hash import VideoHash
+from .builder import CreationOptions, prepare_frames
+
+DEFAULT_BATCH = 256
+
+
+def hash_videos(
+    paths: Iterable[str],
+    options: CreationOptions = CreationOptions(),
+    batch_size: int = DEFAULT_BATCH,
+    decode_workers: int = 8,
+    progress: Callable[[int, int], None] | None = None,
+    use_pallas: bool | None = None,
+) -> dict[str, VideoHash | VdfError]:
+    """Hash many videos; returns {path: VideoHash | VdfError}.
+
+    Decode errors become values (the cache stores them), not exceptions.
+    """
+    paths = [os.fspath(p) for p in paths]
+    results: dict[str, VideoHash | VdfError] = {}
+
+    def prepare(p: str):
+        try:
+            cube, dur = prepare_frames(p, options)
+            return (p, cube, dur, None)
+        except VdfError as e:
+            return (p, None, 0, e)
+        except Exception as e:  # decode libs can throw anything
+            return (p, None, 0, VidProc(f"{e!r}"))
+
+    if use_pallas is None:
+        try:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        except Exception:
+            use_pallas = False
+
+    def dispatch(batch):
+        metas = [(p, dur) for (p, _, dur, _) in batch]
+        cubes = np.stack([c for (_, c, _, _) in batch])
+        if use_pallas:
+            from ..ops.hash_pallas import hash_cubes_pallas
+
+            return metas, hash_cubes_pallas(cubes)  # blocking variant
+        from ..ops.hash_kernel import hash_cubes_device_async
+
+        return metas, hash_cubes_device_async(cubes)
+
+    pending: list[tuple[list, object]] = []
+    buf: list = []
+    done = 0
+    total = len(paths)
+    with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        # pool.map streams results in order while prefetching ahead, so
+        # decode of batch k+1 overlaps the device hash of batch k
+        for item in pool.map(prepare, paths):
+            p, cube, dur, err = item
+            done += 1
+            if err is not None:
+                results[p] = err
+            else:
+                buf.append(item)
+                if len(buf) >= batch_size:
+                    pending.append(dispatch(buf))
+                    buf = []
+            if progress:
+                progress(done, total)
+        if buf:
+            pending.append(dispatch(buf))
+
+    for metas, packed in pending:
+        rows = np.asarray(packed)
+        for (p, dur), row in zip(metas, rows):
+            results[p] = VideoHash.from_packed_u32(
+                np.ascontiguousarray(row), p, dur
+            )
+    return results

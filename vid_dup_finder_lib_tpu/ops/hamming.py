@@ -252,6 +252,11 @@ def banded_adjacency(
     """
     if backend == "host":
         return banded_adjacency_host(packed, bounds, tolerance_int)
+    if backend == "native":
+        from ..native import banded_adjacency_native
+
+        packed64 = np.ascontiguousarray(packed).view(np.uint64)
+        return banded_adjacency_native(packed64, bounds, tolerance_int)
     if backend == "pallas":
         from .hamming_pallas import banded_adjacency_pallas
 

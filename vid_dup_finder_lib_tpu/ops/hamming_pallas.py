@@ -36,8 +36,11 @@ from ..definitions import HASH_BITS, HASH_BITS_PADDED
 
 TILE_M = 512  # row tile (VMEM-bounded: dist + adj tiles are TILE_M x TILE_N)
 TILE_N = 1024
-R_TILES = 16  # row tiles per launch
-BAND_TILES = 16  # column tiles per row tile per launch
+# One row tile x BAND_TILES column tiles per launch: Mosaic compile time
+# through the remote helper scales with grid size (a 256-step grid took
+# >25 min), while launches pipeline back-to-back via async dispatch anyway.
+R_TILES = 1
+BAND_TILES = 16
 
 
 def _is_tpu() -> bool:
@@ -63,7 +66,7 @@ def _build_chunk(interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, pow_lo_ref,
-               pow_hi_ref, out_ref, count_ref):
+               pow_hi_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         tol = scal_ref[0]
@@ -80,7 +83,8 @@ def _build_chunk(interpret: bool):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dist = ((HASH_BITS - dot) * 0.5).astype(jnp.int32)
+        # dist <= tol  <=>  dot >= HASH_BITS - 2*tol, compared in f32
+        dot_thresh = (HASH_BITS - 2 * tol).astype(jnp.float32)
 
         # narrow index vectors broadcast against the tile (full [M, N] int32
         # index matrices would blow the VMEM budget)
@@ -89,12 +93,11 @@ def _build_chunk(interpret: bool):
         bounds = bounds_ref[...]  # [TILE_M, 1]
         col_limit = jnp.minimum(bounds, n)  # [TILE_M, 1]
         adj = (
-            (dist <= tol)
+            (dot >= dot_thresh)
             & (col_ids > row_ids)
             & (col_ids < col_limit)
             & (row_ids < n)
         )
-        count_ref[i, j] = jnp.sum(adj.astype(jnp.int32))
 
         # Transposed bitpack via MXU: word [r, c] collects rows r*32..r*32+31
         # of column c.  Two 16-bit-group f32 matmuls keep sums exact; the
@@ -151,17 +154,10 @@ def _build_chunk(interpret: bool):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, 1, TILE_M // 32, TILE_N),
-                lambda i, j, s: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (R_TILES, BAND_TILES),
-                lambda i, j, s: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (1, 1, TILE_M // 32, TILE_N),
+            lambda i, j, s: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
 
@@ -169,20 +165,23 @@ def _build_chunk(interpret: bool):
 
     @jax.jit
     def chunk(scalars, pm1, bounds):
-        return pl.pallas_call(
+        packed = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct(
-                    (R_TILES, BAND_TILES, TILE_M // 32, TILE_N), jnp.int32
-                ),
-                jax.ShapeDtypeStruct((R_TILES, BAND_TILES), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (R_TILES, BAND_TILES, TILE_M // 32, TILE_N), jnp.int32
             ),
             interpret=interpret,
         )(
             scalars, pm1, pm1, bounds,
             jnp.asarray(pow_lo_np), jnp.asarray(pow_hi_np),
         )
+        # per-tile match counts via XLA popcount over the packed bits
+        # (an in-kernel SMEM counts output serialized the grid pipeline)
+        counts = jnp.sum(
+            jax.lax.population_count(packed), axis=(2, 3), dtype=jnp.int32
+        )
+        return packed, counts
 
     return chunk
 
@@ -294,8 +293,8 @@ def banded_adjacency_pallas(
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     pending: list[tuple[np.ndarray, np.ndarray, object, object]] = []
-    # 16 launches x 256 tiles x 64 KB = 256 MB of device-resident output
-    max_pending_calls = 16
+    # 256 launches x 16 tiles x 64 KB = 256 MB of device-resident output
+    max_pending_calls = 256
     _concat_counts = _build_concat_counts()
     zero_counts = jnp.zeros((R_TILES, BAND_TILES), jnp.int32)
 

@@ -58,10 +58,11 @@ def _build():
 _HASH_CUBES = None
 
 
-def hash_cubes_device(frames16: np.ndarray) -> np.ndarray:
-    """Hash a batch of uint8[B, 16, 16, 16] cubes on the default device.
+def hash_cubes_device_async(frames16: np.ndarray):
+    """Dispatch a batch hash without blocking; returns the device array.
 
-    Returns packed uint32[B, 32] as a NumPy array.
+    JAX dispatch is asynchronous, so the caller can keep decoding the next
+    batch while this one computes (the double-buffered streaming pattern).
     """
     global _HASH_CUBES
     if _HASH_CUBES is None:
@@ -72,4 +73,12 @@ def hash_cubes_device(frames16: np.ndarray) -> np.ndarray:
         DCT_SIZE,
         DCT_SIZE,
     ), frames16.shape
-    return np.asarray(_HASH_CUBES(frames16))
+    return _HASH_CUBES(frames16)
+
+
+def hash_cubes_device(frames16: np.ndarray) -> np.ndarray:
+    """Hash a batch of uint8[B, 16, 16, 16] cubes on the default device.
+
+    Returns packed uint32[B, 32] as a NumPy array.
+    """
+    return np.asarray(hash_cubes_device_async(frames16))

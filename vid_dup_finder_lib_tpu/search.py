@@ -121,7 +121,7 @@ class Search:
         tol = _tolerance_int(tolerance)
 
         use_adjacency = backend != "naive" and (
-            backend in ("device", "host", "pallas")
+            backend in ("device", "host", "pallas", "native")
             or n >= _DEVICE_SEARCH_THRESHOLD
         )
         if use_adjacency:
