@@ -23,6 +23,10 @@ from .probe import VideoInfo
 
 def available_backends() -> list[str]:
     out = []
+    from .gstreamer_reader import available as gst_available
+
+    if gst_available():
+        out.append("gstreamer")  # reference's default backend
     if ffmpeg_available():
         out.append("ffmpeg")
     try:
@@ -79,7 +83,16 @@ class FrameReadCfg:
 
     def _spawn(self, grayscale: bool) -> Iterator[np.ndarray]:
         backend = self.backend or _pick_backend()
-        if backend == "ffmpeg":
+        if backend == "gstreamer":
+            from .gstreamer_reader import GStreamerFrameReader
+
+            reader = GStreamerFrameReader(
+                self.src_path,
+                fps=self.fps,
+                start_offset=self.start_offset or 0.0,
+                grayscale=grayscale,
+            )
+        elif backend == "ffmpeg":
             # facade casts the f64 offset to u32 whole seconds
             # (ffmpeg_gst_wrapper/src/lib.rs:201-203)
             reader = FfmpegFrameReader(

@@ -163,8 +163,7 @@ def _build_chunk(interpret: bool):
 
     pow_lo_np, pow_hi_np = _pack_matrices()
 
-    @jax.jit
-    def chunk(scalars, pm1, bounds):
+    def one_launch(scalars, pm1, bounds):
         packed = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -183,7 +182,36 @@ def _build_chunk(interpret: bool):
         )
         return packed, counts
 
-    return chunk
+    return jax.jit(one_launch)
+
+
+# Launches per device sweep call: lax.scan drives SWEEP_CALLS kernel
+# launches inside ONE jit, because per-launch Python dispatch (~0.5 ms on
+# this single-core host) dominated the 0.14 ms device cost of a launch.
+SWEEP_CALLS = 256
+
+
+@functools.cache
+def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
+    import jax
+
+    # the scan body reuses the single-launch pallas program
+    chunk_fn = _build_chunk(interpret)
+
+    @jax.jit
+    def sweep(scalars_all, pm1, bounds):
+        """scalars_all: int32[sweep_calls, 3 + R_TILES] -> stacked outputs."""
+
+        def body(_, scal):
+            packed, counts = chunk_fn(scal, pm1, bounds)
+            return None, (packed, counts)
+
+        _, (packed_all, counts_all) = jax.lax.scan(
+            body, None, scalars_all
+        )
+        return packed_all, counts_all
+
+    return sweep
 
 
 @functools.cache
@@ -216,18 +244,6 @@ def unpack_pm1_device(packed):
         return jnp.where(valid, pm, 0).astype(jnp.bfloat16)
 
     return f(packed)
-
-
-@functools.cache
-def _build_concat_counts():
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _concat_counts(*cs):
-        return jnp.stack(cs, axis=0)
-
-    return _concat_counts
 
 
 def _tile_bits_to_pairs(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -321,36 +337,13 @@ def banded_adjacency_pallas(
     n_ct = state.n_ct
     max_ct = state.max_ct
 
-    fn = _build_chunk(interpret)
-    out_i: list[np.ndarray] = []
-    out_j: list[np.ndarray] = []
-    pending: list[tuple[np.ndarray, np.ndarray, object, object]] = []
-    # 256 launches x 16 tiles x 64 KB = 256 MB of device-resident output
-    max_pending_calls = 256
-    _concat_counts = _build_concat_counts()
-    zero_counts = jnp.zeros((R_TILES, BAND_TILES), jnp.int32)
+    # small scan batches in interpret mode (tests): padded launches are
+    # pure waste there, and the jit wrapper is re-traced anyway
+    sweep_calls = 8 if interpret else SWEEP_CALLS
+    sweep_fn = _build_sweep(interpret, sweep_calls)
 
-    def drain() -> None:
-        nonlocal pending
-        if not pending:
-            return
-        # One batched d2h for ALL counts (fixed-arity stack: one compile;
-        # per-transfer latency through the tunnel is ~50 ms).
-        cs = [c for (_, _, _, c) in pending]
-        cs = cs + [zero_counts] * (max_pending_calls - len(cs))
-        counts_all = np.asarray(_concat_counts(*cs))
-        for idx, (rts, cts, packed_out, _c) in enumerate(pending):
-            counts_np = counts_all[idx]
-            for i, j in zip(*np.nonzero(counts_np > 0)):
-                roff, coff = _tile_bits_to_pairs(
-                    np.asarray(packed_out[i, j])
-                )
-                out_i.append(roff.astype(np.int64) + rts[i] * TILE_M)
-                out_j.append(
-                    coff.astype(np.int64) + (cts[i] + j) * TILE_N
-                )
-        pending = []
-
+    # Phase 1: enumerate every launch descriptor (row tile, first col tile).
+    launches: list[tuple[int, int]] = []
     for chunk_idx in range(n_row_chunks):
         rt0 = chunk_idx * R_TILES
         rts = np.arange(rt0, rt0 + R_TILES)
@@ -360,21 +353,38 @@ def banded_adjacency_pallas(
             # rows whose band is exhausted keep pointing past their band end
             # (clamped in-bounds): the col_ids < bounds mask empties them.
             cur = np.minimum(starts, max_ct - BAND_TILES).astype(np.int64)
-            scalars = np.empty(3 + R_TILES, dtype=np.int32)
-            scalars[0] = tolerance_int
-            scalars[1] = n
-            scalars[2] = rt0
-            scalars[3:] = cur
-            packed_out, counts = fn(
-                jnp.asarray(scalars), pm1, bounds_dev
-            )
-            pending.append((rts, cur, packed_out, counts))
-            if len(pending) >= max_pending_calls:
-                drain()
+            launches.append((rt0, int(cur[0])))
             starts = starts + BAND_TILES
             remaining = remaining - BAND_TILES
 
-    drain()
+    # Phase 2: run launches in fixed-size scan batches (one jit call per
+    # SWEEP_CALLS launches — per-launch Python dispatch costs more than the
+    # launch itself on a single-core host), fetch all counts in one d2h per
+    # batch, and transfer only the tiles that contain matches.
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for b0 in range(0, len(launches), sweep_calls):
+        batch = launches[b0 : b0 + sweep_calls]
+        scalars_all = np.zeros((sweep_calls, 3 + R_TILES), dtype=np.int32)
+        # padding rows keep tol=-1: dot >= 1002 is impossible, no matches
+        scalars_all[:, 0] = -1
+        for k, (rt0, ct0) in enumerate(batch):
+            scalars_all[k, 0] = tolerance_int
+            scalars_all[k, 1] = n
+            scalars_all[k, 2] = rt0
+            scalars_all[k, 3] = ct0
+        packed_all, counts_all = sweep_fn(
+            jnp.asarray(scalars_all), pm1, bounds_dev
+        )
+        counts_np = np.asarray(counts_all)  # [SWEEP_CALLS, R_TILES, BAND]
+        for k, i, j in zip(*np.nonzero(counts_np > 0)):
+            rt0, ct0 = batch[int(k)]
+            roff, coff = _tile_bits_to_pairs(
+                np.asarray(packed_all[int(k), int(i), int(j)])
+            )
+            out_i.append(roff.astype(np.int64) + (rt0 + int(i)) * TILE_M)
+            out_j.append(coff.astype(np.int64) + (ct0 + int(j)) * TILE_N)
+
     if not out_i:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     ii = np.concatenate(out_i)
