@@ -167,3 +167,60 @@ def test_backends_agree_random_durations_dense(backend):
     expected = search(hashes, tol, backend="naive")
     got = search(hashes, tol, backend=backend)
     assert got == expected
+
+
+def test_batched_refs_matches_loop():
+    """The blocked-matmul multi-reference path must equal the per-ref loop
+    exactly, including result order per reference."""
+    from vid_dup_finder_lib_tpu.search import Search
+
+    rng = np.random.default_rng(12)
+    cands = _named([VideoHash.random_hash(rng) for _ in range(400)])
+    cands = [
+        h.with_duration(int(d))
+        for h, d in zip(cands, rng.integers(50, 500, len(cands)))
+    ]
+    refs = [
+        VideoHash.random_hash(rng)
+        .with_src_path(f"/r/{i:03}")
+        .with_duration(int(d))
+        for i, d in enumerate(rng.integers(50, 500, 150))
+    ]
+    # make some refs real matches
+    refs[3] = cands[10].with_src_path("/r/003")
+    refs[70] = cands[200].hash_with_spatial_distance(100, rng).with_src_path(
+        "/r/070"
+    ).with_duration(cands[200].duration)
+
+    tol = 0.47
+    s1 = Search(cands)
+    expected = [
+        s1.search_with_references([r], tol, consume=False)[0] for r in refs
+    ]
+    s2 = Search(cands)
+    got = s2.search_with_references_batched(refs, tol)
+    assert got == expected
+    assert any(expected)  # sanity: at least one ref matched
+
+    # public API equivalence across the threshold
+    g1 = search_with_references(refs, cands, tol)
+    from vid_dup_finder_lib_tpu import search_with_references as swr
+
+    assert g1 == [
+        g
+        for g in (
+            _mk(r, m) for r, m in zip(refs, expected)
+        )
+        if g is not None
+    ]
+
+
+def _mk(ref, matches):
+    from vid_dup_finder_lib_tpu.match_group import MatchGroup, TooFewEntries
+
+    if not matches:
+        return None
+    try:
+        return MatchGroup.new_with_reference(ref.src_path, matches)
+    except TooFewEntries:
+        return None

@@ -2,10 +2,12 @@
 
 TPU-native design: instead of translating the reference's per-pair
 XOR+POPCNT scalar loop (``video_hash.rs:311-317``), distances ride the MXU.
-A 1000-bit hash becomes a length-1024 vector over {-1, 0, +1} (int8; the 24
-pad bits are 0), and for hashes a, b:
+A hash's 1024 storage bits become a length-1024 +/-1 vector, and for
+hashes a, b:
 
-    dot(a_pm, b_pm) = #agreeing bits - #disagreeing bits = 1000 - 2 * hamming
+    dot(a_pm, b_pm) = 1024 - 2 * hamming        (over all storage bits,
+                                                 like the reference's
+                                                 16-word popcount)
 
 so a tile of pairwise distances is one int8 matmul with exact int32
 accumulation — hundreds of Tops/s on the MXU versus a VPU popcount loop.
@@ -28,11 +30,15 @@ _BIT_SHIFTS = np.arange(32, dtype=np.uint32)
 
 
 def unpack_pm1_host(packed: np.ndarray, dtype=np.float32) -> np.ndarray:
-    """uint32[N, 32] -> {-1, 0, +1}[N, 1024]; pad bits (>=1000) are 0."""
+    """uint32[N, 32] -> {-1, +1}[N, 1024].
+
+    All 1024 storage bits participate, exactly like the reference's
+    per-word popcount over [usize; 16] (video_hash.rs:311-317) — real
+    hashes always have zero pad bits, but synthetic test hashes may not.
+    dot(a, b) = 1024 - 2 * hamming."""
     n = packed.shape[0]
     bits = (packed[:, :, None] >> _BIT_SHIFTS[None, None, :]) & np.uint32(1)
     pm = (bits.astype(np.int8) * 2 - 1).reshape(n, HASH_BITS_PADDED)
-    pm[:, HASH_BITS:] = 0
     return pm.astype(dtype)
 
 
@@ -72,7 +78,7 @@ def banded_adjacency_host(
         if c1 <= c0:
             continue
         dot = pm[r0:r1] @ pm[c0:c1].T  # exact: integers < 2^24 in f32
-        dist = (HASH_BITS - dot) * 0.5
+        dist = (HASH_BITS_PADDED - dot) * 0.5
         rows = np.arange(r0, r1)[:, None]
         cols = np.arange(c0, c1)[None, :]
         adj = (
@@ -104,15 +110,11 @@ def _get_device_fns():
     import jax.numpy as jnp
 
     def unpack_pm1(packed):
-        """uint32[K, 32] -> int8[K, 1024] over {-1, 0, +1}."""
+        """uint32[K, 32] -> int8[K, 1024] over {-1, +1} (all storage bits)."""
         k = packed.shape[0]
         shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
         bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
-        pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
-        valid = (
-            jnp.arange(HASH_BITS_PADDED, dtype=jnp.int32)[None, :] < HASH_BITS
-        )
-        return jnp.where(valid, pm, 0).astype(jnp.int8)
+        return (bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1)
 
     def block_kernel(rows_packed, cols_packed, row_ids, col_ids, row_bounds, tol):
         """Distances for one (TM, TC) tile -> bitpacked adjacency + count."""
@@ -124,7 +126,7 @@ def _get_device_fns():
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        dist = (HASH_BITS - dot) // 2
+        dist = (HASH_BITS_PADDED - dot) // 2
         adj = (
             (dist <= tol)
             & (col_ids[None, :] > row_ids[:, None])

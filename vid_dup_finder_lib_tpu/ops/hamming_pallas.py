@@ -83,8 +83,9 @@ def _build_chunk(interpret: bool):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # dist <= tol  <=>  dot >= HASH_BITS - 2*tol, compared in f32
-        dot_thresh = (HASH_BITS - 2 * tol).astype(jnp.float32)
+        # dist <= tol  <=>  dot >= 1024 - 2*tol, compared in f32 (all 1024
+        # storage bits count, like the reference's 16-word popcount)
+        dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(jnp.float32)
 
         # narrow index vectors broadcast against the tile (full [M, N] int32
         # index matrices would blow the VMEM budget)
@@ -238,10 +239,7 @@ def unpack_pm1_device(packed):
         shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
         bits = (p[:, :, None] >> shifts) & jnp.uint32(1)
         pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
-        valid = (
-            jnp.arange(HASH_BITS_PADDED, dtype=jnp.int32)[None, :] < HASH_BITS
-        )
-        return jnp.where(valid, pm, 0).astype(jnp.bfloat16)
+        return pm.astype(jnp.bfloat16)
 
     return f(packed)
 

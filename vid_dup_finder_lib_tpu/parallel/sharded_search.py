@@ -34,8 +34,7 @@ def _unpack_pm1_jnp(packed):
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
     bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
     pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
-    valid = jnp.arange(HASH_BITS_PADDED, dtype=jnp.int32)[None, :] < HASH_BITS
-    return jnp.where(valid, pm, 0).astype(jnp.bfloat16)
+    return pm.astype(jnp.bfloat16)  # all 1024 storage bits count
 
 
 @functools.cache
@@ -66,7 +65,7 @@ def _build_ring_scan(axis: str):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dist = ((HASH_BITS - dot) * 0.5).astype(jnp.int32)
+            dist = ((HASH_BITS_PADDED - dot) * 0.5).astype(jnp.int32)
             valid = (
                 (blk_ids[:, 0][None, :] > ids_local)
                 & (blk_durs[:, 0][None, :] <= thresh)

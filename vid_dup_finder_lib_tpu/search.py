@@ -40,6 +40,11 @@ from .video_hash import VideoHash, hashes_to_matrix
 # Auto backend: use the device (JAX) distance kernel above this many entries.
 _DEVICE_SEARCH_THRESHOLD = 4096
 
+# search_with_references switches to blocked-matmul batching at this many refs.
+_BATCHED_REFS_THRESHOLD = 64
+
+HASH_BITS_F = 1024.0  # +/-1 dot covers all storage bits
+
 
 def _sort_key(h: VideoHash):
     # search_algorithm.rs:54-60 — (duration, src_path); PathBuf compares
@@ -184,6 +189,55 @@ class Search:
     ) -> list[list[str]]:
         return [self.search_one(r, tolerance, consume) for r in references]
 
+    def search_with_references_batched(
+        self, references: Sequence[VideoHash], tolerance: float
+    ) -> list[list[str]]:
+        """Batched (non-consuming) multi-reference search.
+
+        Output-identical to looping ``search_one(consume=False)`` per ref
+        (video_dup_finder.rs:19-46's semantics), but distances are computed
+        as blocked +/-1 matmuls: references are processed in duration-sorted
+        blocks whose candidate windows are contiguous in the sorted entry
+        array, so one [R_B, window] distance block serves a whole ref block.
+        """
+        tol = _tolerance_int(tolerance)
+        refs = list(references)
+        if not refs or not self.entries:
+            return [[] for _ in refs]
+
+        from .ops.hamming import unpack_pm1_host
+
+        cand_pm = unpack_pm1_host(hashes_to_matrix(self.entries))
+        order = sorted(range(len(refs)), key=lambda k: refs[k].duration)
+        results: list[list[str]] = [[] for _ in refs]
+
+        r_block = 256
+        for b0 in range(0, len(order), r_block):
+            block = order[b0 : b0 + r_block]
+            windows = [
+                self._duration_slice(refs[k].duration) for k in block
+            ]
+            lo = min(w[0] for w in windows)
+            hi = max(w[1] for w in windows)
+            if hi <= lo:
+                continue
+            ref_pm = unpack_pm1_host(
+                hashes_to_matrix([refs[k] for k in block])
+            )
+            dist = (
+                HASH_BITS_F - ref_pm @ cand_pm[lo:hi].T
+            ) * 0.5  # exact: integer values in f32
+            for row, (k, (wlo, whi)) in enumerate(zip(block, windows)):
+                ok = np.flatnonzero(
+                    dist[row, wlo - lo : whi - lo] <= tol
+                )
+                results[k] = [
+                    self.entries[wlo + int(j)].src_path
+                    for j in ok
+                    if not self.matched[wlo + int(j)]
+                ]
+        return results
+
 
 def _distances_one_to_many(
     target: VideoHash, entries: list[VideoHash]
@@ -236,10 +290,16 @@ def search_with_references(
 
         tolerance = DEFAULT_SEARCH_TOLERANCE
     s = Search(new_hashes)
+    refs = list(ref_hashes)
     out: list[MatchGroup] = []
-    for ref_hash in ref_hashes:
-        result = s.search_with_references([ref_hash], tolerance, consume=False)
-        matches = result[0]
+    if len(refs) >= _BATCHED_REFS_THRESHOLD:
+        all_matches = s.search_with_references_batched(refs, tolerance)
+    else:
+        all_matches = [
+            s.search_with_references([r], tolerance, consume=False)[0]
+            for r in refs
+        ]
+    for ref_hash, matches in zip(refs, all_matches):
         if matches:
             try:
                 out.append(
