@@ -112,3 +112,24 @@ def test_search_tolerance_scaling_consistency():
     hs = [base.with_src_path("a"), other]
     assert len(search(hs, 350 / TOLERANCE_SCALING_FACTOR)) == 1
     assert len(search(hs, 349.9 / TOLERANCE_SCALING_FACTOR)) == 0
+
+
+def test_band_kernel_matches_host_interpret():
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_band import (
+        banded_adjacency_band,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 600
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    durs = np.sort(rng.integers(50, 200, n))
+    bounds = np.searchsorted(
+        durs, (durs * 1.1).astype(np.int64), side="right"
+    )
+    for tol in (350, 480):
+        hi, hj = banded_adjacency_host(packed, bounds, tol)
+        bi, bj = banded_adjacency_band(packed, bounds, tol)
+        assert np.array_equal(hi, bi) and np.array_equal(hj, bj)

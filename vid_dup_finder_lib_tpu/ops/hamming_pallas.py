@@ -207,8 +207,10 @@ def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
             packed, counts = chunk_fn(scal, pm1, bounds)
             return None, (packed, counts)
 
+        # unroll amortizes the device while-loop overhead (~0.55 ms/iter
+        # measured) across several kernel launches per loop step
         _, (packed_all, counts_all) = jax.lax.scan(
-            body, None, scalars_all
+            body, None, scalars_all, unroll=8
         )
         return packed_all, counts_all
 
