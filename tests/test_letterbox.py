@@ -112,3 +112,33 @@ def test_cropdetect_letterbox_sequence_union():
     seq2 = [a, b] + [a] * 7
     assert cropdetect_letterbox(seq2) == Crop.from_edge_offsets((5, 6), 1, 1, 1, 2)
     assert cropdetect_letterbox([]) is None
+
+
+def test_device_letterbox_matches_host():
+    """Batched device letterbox == per-video host cropdetect_letterbox."""
+    import numpy as np
+
+    from vid_dup_finder_lib_tpu.ops.letterbox import cropdetect_letterbox
+    from vid_dup_finder_lib_tpu.ops.letterbox_device import (
+        cropdetect_letterbox_device,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, H, W = 5, 16, 48, 64
+    frames = rng.integers(0, 256, (B, T, H, W), dtype=np.uint8)
+    # video 0: plain noise (no crop)
+    # video 1: black letterbox bars top/bottom 6 px
+    frames[1, :, :6] = 0
+    frames[1, :, -6:] = 0
+    # video 2: pillarbox left/right 10 px of near-constant gray
+    frames[2, :, :, :10] = rng.integers(100, 104, (T, H, 10))
+    frames[2, :, :, -10:] = 102
+    # video 3: fully constant (degenerate -> no crop)
+    frames[3] = 77
+    # video 4: asymmetric: top 3 black only
+    frames[4, :, :3] = 0
+
+    got = cropdetect_letterbox_device(frames)
+    for b in range(B):
+        exp = cropdetect_letterbox(list(frames[b]))
+        assert got[b] == exp, (b, got[b], exp)

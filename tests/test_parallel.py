@@ -133,3 +133,37 @@ def test_band_kernel_matches_host_interpret():
         hi, hj = banded_adjacency_host(packed, bounds, tol)
         bi, bj = banded_adjacency_band(packed, bounds, tol)
         assert np.array_equal(hi, bi) and np.array_equal(hj, bj)
+
+
+def test_fully_on_device_preproc_matches_host_pipeline():
+    """letterbox+resize+hash on device vs the host golden pipeline:
+    same crops, hashes within a few near-zero DCT sign flips (f32 resize
+    weights vs f64)."""
+    from vid_dup_finder_lib_tpu.models.pipeline import (
+        hash_raw_frames_device,
+    )
+    from vid_dup_finder_lib_tpu.ops.golden import (
+        crop_resize_golden,
+        hash_bits_golden,
+    )
+    from vid_dup_finder_lib_tpu.ops.letterbox import cropdetect_letterbox
+    from vid_dup_finder_lib_tpu.video_hash import pack_bits
+
+    rng = np.random.default_rng(9)
+    B, T, H, W = 4, 16, 60, 80
+    frames = rng.integers(0, 256, (B, T, H, W), dtype=np.uint8)
+    frames[1, :, :8] = 0
+    frames[1, :, -8:] = 0
+    frames[2, :, :, :12] = 5
+
+    packed = hash_raw_frames_device(frames)
+    assert packed.shape == (B, 32)
+
+    for b in range(B):
+        crop = cropdetect_letterbox(list(frames[b]))
+        small = np.stack(
+            [crop_resize_golden(f, crop) for f in frames[b]]
+        )
+        exp_bits = hash_bits_golden(small)
+        got_bits = VideoHash.from_packed_u32(packed[b]).hash_bits()
+        assert int((exp_bits != got_bits).sum()) <= 12  # near-zero flips

@@ -24,6 +24,43 @@ from .builder import CreationOptions, prepare_frames
 DEFAULT_BATCH = 256
 
 
+def hash_raw_frames_device(
+    frames: np.ndarray,
+    letterbox: bool = True,
+) -> np.ndarray:
+    """Fully on-device preprocessing + hash for a same-resolution batch.
+
+    uint8[B, 16, H, W] raw decoded frames -> packed uint32[B, 32]:
+    device letterbox detection (union over sampled frames) -> device
+    Lanczos3 crop+resize (per-crop weight buckets) -> batched DCT hash
+    kernel.  This is BASELINE.json config 5 ("cropdetect preproc fused"):
+    after decode, no pixel touches the host.
+
+    Crops are data-dependent, so videos are grouped by detected crop and
+    each group resizes with its own precomputed weight pair.
+    """
+    from ..ops.hash_kernel import hash_cubes_device
+    from ..ops.letterbox_device import cropdetect_letterbox_device
+    from ..ops.resize_device import resize_frames_device
+
+    b = frames.shape[0]
+    if letterbox:
+        crops = cropdetect_letterbox_device(frames)
+    else:
+        h, w = frames.shape[2:]
+        from ..crop import Crop
+
+        crops = [Crop.from_edge_offsets((w, h), 0, 0, 0, 0)] * b
+
+    cubes = np.empty((b, 16, 16, 16), dtype=np.uint8)
+    by_crop: dict = {}
+    for i, c in enumerate(crops):
+        by_crop.setdefault(c, []).append(i)
+    for crop, idxs in by_crop.items():
+        cubes[idxs] = resize_frames_device(frames[idxs], crop)
+    return hash_cubes_device(cubes)
+
+
 def hash_videos(
     paths: Iterable[str],
     options: CreationOptions = CreationOptions(),

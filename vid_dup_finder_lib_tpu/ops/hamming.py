@@ -263,6 +263,10 @@ def banded_adjacency(
         from .hamming_pallas import banded_adjacency_pallas
 
         return banded_adjacency_pallas(packed, bounds, tolerance_int)
+    if backend == "band":
+        from .hamming_band import banded_adjacency_band
+
+        return banded_adjacency_band(packed, bounds, tolerance_int)
     if backend == "device":
         return banded_adjacency_device(packed, bounds, tolerance_int)
     # auto
