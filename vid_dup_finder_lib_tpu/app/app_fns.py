@@ -17,12 +17,11 @@ import sys
 from .. import search, search_with_references
 from ..cache.filename_pattern import FilenamePattern
 from ..cache.hash_cache import VideoHashFilesystemCache
-from ..errors import VdfError
 from ..match_group import MatchGroup, TooFewEntries
 from ..models.builder import CreationOptions
 from ..utils.logging import configure_logs
 from ..utils.timers import phase_timer
-from .app_cfg import AppCfg, OutputFormat, ReportVerbosity
+from .app_cfg import AppCfg, OutputFormat
 from .arg_parse import parse_args
 from .match_db import MatchDb
 from .search_output import SearchOutput

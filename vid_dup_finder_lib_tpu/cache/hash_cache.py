@@ -29,7 +29,6 @@ from typing import Callable, Iterable
 
 import numpy as np
 
-from ..definitions import Cropdetect
 from ..errors import VdfError, VidProc
 from ..models.builder import CreationOptions, prepare_frames
 from ..video_hash import VideoHash

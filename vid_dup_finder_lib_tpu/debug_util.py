@@ -12,7 +12,6 @@ import os
 
 import numpy as np
 
-from .definitions import Cropdetect
 from .models.builder import (
     CreationOptions,
     build_frame_reader,

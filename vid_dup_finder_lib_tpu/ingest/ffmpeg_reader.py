@@ -13,7 +13,6 @@ safety rails: wall-clock timeout, memory guard, child reaping.
 
 from __future__ import annotations
 
-import os
 import subprocess
 import time
 from dataclasses import dataclass

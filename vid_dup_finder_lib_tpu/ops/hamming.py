@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..definitions import HASH_BITS, HASH_BITS_PADDED
+from ..definitions import HASH_BITS_PADDED
 
 _BIT_SHIFTS = np.arange(32, dtype=np.uint32)
 

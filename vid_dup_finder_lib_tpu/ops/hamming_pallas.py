@@ -32,7 +32,7 @@ import functools
 
 import numpy as np
 
-from ..definitions import HASH_BITS, HASH_BITS_PADDED
+from ..definitions import HASH_BITS_PADDED
 
 TILE_M = 512  # row tile (VMEM-bounded: dist + adj tiles are TILE_M x TILE_N)
 TILE_N = 1024

@@ -89,7 +89,7 @@ def _build_ring_scan(axis: str):
 
         ns = pm_local.shape[0]
         # constants must be marked device-varying for the shard_map carry
-        pvary = lambda x: jax.lax.pvary(x, (axis,))  # noqa: E731
+        pvary = lambda x: jax.lax.pcast(x, (axis,), to="varying")  # noqa: E731
         init = (
             pvary(jnp.zeros((ns, 1), jnp.int32)),
             pvary(jnp.full((ns, 1), HASH_BITS + 1, jnp.int32)),
