@@ -224,3 +224,33 @@ def _mk(ref, matches):
         return MatchGroup.new_with_reference(ref.src_path, matches)
     except TooFewEntries:
         return None
+
+
+@pytest.mark.slow
+def test_search_20k_scale_host_backend():
+    """Public search() at 20k entries with planted clusters: the banded
+    adjacency + greedy replay pipeline at a non-toy size."""
+    rng = np.random.default_rng(20)
+    n = 20000
+    hashes = []
+    durs = np.sort(rng.integers(30, 7200, n))
+    for i in range(n):
+        hashes.append(
+            VideoHash.random_hash(rng)
+            .with_src_path(f"/v/{i:06}.mp4")
+            .with_duration(int(durs[i]))
+        )
+    # plant 50 duplicate triples at grid-spaced spots
+    starts = rng.choice(n // 16 - 1, 50, replace=False) * 16
+    for st in starts:
+        for k in (1, 2):
+            hashes[st + k] = (
+                hashes[st]
+                .hash_with_spatial_distance(60, rng)
+                .with_src_path(hashes[st + k].src_path)
+                .with_duration(hashes[st].duration)
+            )
+
+    groups = search(hashes, 0.3, backend="host")
+    planted_triples = sum(1 for g in groups if len(g) == 3)
+    assert planted_triples >= 45  # most planted triples recovered intact

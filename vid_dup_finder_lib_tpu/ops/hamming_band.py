@@ -182,10 +182,10 @@ def _build_band(interpret: bool):
                 lambda i, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pm1, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # pm1, DMA'd manually
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed tiles (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # packed tiles (HBM)
             pl.BlockSpec(
                 (MAX_BAND, 1), lambda i, s: (0, 0),
                 memory_space=pltpu.SMEM,
