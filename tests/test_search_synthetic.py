@@ -254,3 +254,30 @@ def test_search_20k_scale_host_backend():
     groups = search(hashes, 0.3, backend="host")
     planted_triples = sum(1 for g in groups if len(g) == 3)
     assert planted_triples >= 45  # most planted triples recovered intact
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_backend_fuzz_host_vs_naive(seed):
+    """Randomized configs: the banded host backend must equal the naive
+    greedy for arbitrary duration distributions and tolerances."""
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(2, 250))
+    dur_lo = int(rng.integers(0, 50))
+    dur_hi = dur_lo + int(rng.integers(1, 4000))
+    hashes = _named([VideoHash.random_hash(rng) for _ in range(n)])
+    hashes = [
+        h.with_duration(int(d))
+        for h, d in zip(hashes, rng.integers(dur_lo, dur_hi, n))
+    ]
+    # sprinkle near-duplicates
+    for _ in range(int(rng.integers(0, 6))):
+        i, j = rng.integers(0, n, 2)
+        hashes[j] = (
+            hashes[i]
+            .hash_with_spatial_distance(int(rng.integers(0, 400)), rng)
+            .with_src_path(hashes[j].src_path)
+            .with_duration(hashes[i].duration)
+        )
+    tol = float(rng.uniform(0.0, 0.6))
+    expected = search(hashes, tol, backend="naive")
+    assert search(hashes, tol, backend="host") == expected

@@ -48,6 +48,9 @@ def _is_tpu() -> bool:
 @functools.cache
 def _build_band(interpret: bool):
     """scalars (int32[5]): [tol, n, row_tile, first_col_tile, n_tiles]."""
+    from ..utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

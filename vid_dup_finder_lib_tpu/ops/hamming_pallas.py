@@ -60,6 +60,9 @@ def _build_chunk(interpret: bool):
       [0] tolerance, [1] n, [2] first row-tile index,
       [3 + i] first column-tile index for row tile i.
     """
+    from ..utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

@@ -22,6 +22,9 @@ from .golden import dct2_matrix
 
 
 def _build():
+    from ..utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

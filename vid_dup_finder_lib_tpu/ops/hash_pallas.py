@@ -53,6 +53,9 @@ def _d3_operator() -> np.ndarray:
 
 @functools.cache
 def _build(interpret: bool):
+    from ..utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
