@@ -102,3 +102,35 @@ def test_device_resize_matches_golden():
                 got[b, t].astype(int) - exp.astype(int)
             ).max()
             assert diff <= 1  # f32 weights vs f64 golden: <=1 gray level
+
+
+def test_opencv_reader_frame_counts():
+    """Full-rate read returns every frame; fps resampling yields the
+    expected count (the reference doc-tests assert frame counts,
+    vid_frame_iter/src/lib.rs:45)."""
+    import os
+
+    from tests.fixtures import FPS, SECONDS, make_fixture_videos
+    from vid_dup_finder_lib_tpu.ingest.opencv_reader import OpenCvFrameReader
+
+    vids = make_fixture_videos(
+        os.path.join(os.path.dirname(__file__), "data")
+    )
+    total = int(FPS * SECONDS)  # 288
+
+    frames = list(OpenCvFrameReader(vids[0]).frames())
+    assert len(frames) == total
+    assert frames[0].ndim == 2  # grayscale
+
+    # 6.4 fps over 12 s -> ~76 output slots before source exhausts
+    r = OpenCvFrameReader(vids[0], fps=(int(6.4 * 16384), 16384))
+    resampled = list(r.frames())
+    assert 74 <= len(resampled) <= 78
+
+    # num_frames cap
+    r16 = OpenCvFrameReader(vids[0], fps=(64 * 16384, 16384), num_frames=16)
+    assert len(list(r16.frames())) == 16
+
+    # rgb mode
+    rgb = next(iter(OpenCvFrameReader(vids[0], grayscale=False).frames()))
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
