@@ -141,13 +141,22 @@ def main() -> None:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
+    use_pallas = backend in ("pallas", "pallas4") or (
+        backend == "auto" and on_tpu
+    )
 
     setup_secs = 0.0
     if use_pallas:
         from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
             PallasSearchState,
             banded_adjacency_pallas,
+            banded_adjacency_pallas_v4,
+        )
+
+        sweep_fn = (
+            banded_adjacency_pallas_v4
+            if backend == "pallas4"
+            else banded_adjacency_pallas
         )
 
         # warm-up on a slice to trigger (cached) compilation
@@ -162,9 +171,7 @@ def main() -> None:
         setup_secs = time.time() - t0  # one-time h2d upload + unpack
 
         def run():
-            return banded_adjacency_pallas(
-                packed, bounds, TOLERANCE_INT, state=state
-            )
+            return sweep_fn(packed, bounds, TOLERANCE_INT, state=state)
 
     elif backend == "host":
 

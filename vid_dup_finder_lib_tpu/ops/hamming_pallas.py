@@ -194,6 +194,183 @@ def _build_chunk(interpret: bool):
 # this single-core host) dominated the 0.14 ms device cost of a launch.
 SWEEP_CALLS = 256
 
+# v4 driver granularities: launches are count-reduced on device in GROUPs,
+# GROUPS_PER_FETCH groups share one d2h counts fetch, and matching tiles
+# are extracted in EXTRACT_ROUND-tile device rounds (index-only fetches).
+GROUP = 64
+GROUPS_PER_FETCH = 16
+EXTRACT_ROUND = 64
+EXTRACT_PAIR_CAP = 16384
+
+
+@functools.cache
+def _v4_jits():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def group_stack(*cs):  # GROUP x [R_TILES, BAND] -> [GROUP, R, BAND]
+        return jnp.stack(cs)
+
+    @jax.jit
+    def super_stack(*gs):  # GROUPS_PER_FETCH x [GROUP, R, BAND]
+        return jnp.stack(gs)
+
+    @jax.jit
+    def extract_tiles(*tiles):
+        """EXTRACT_ROUND x int32[TILE_M//32, TILE_N] -> index arrays.
+
+        One sized nonzero over the whole stacked round; only ~256 KB of
+        indices travel to the host instead of 64 KB per tile."""
+        t = jnp.stack(tiles)
+        tu = jax.lax.bitcast_convert_type(t, jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+        bits = (tu[:, :, None, :] >> shifts) & jnp.uint32(1)
+        hh, rr, bb, cc = jnp.nonzero(
+            bits, size=EXTRACT_PAIR_CAP, fill_value=-1
+        )
+        return hh, rr, bb, cc
+
+    return group_stack, super_stack, extract_tiles
+
+
+def banded_adjacency_pallas_v4(
+    packed: np.ndarray,
+    bounds: np.ndarray,
+    tolerance_int: int,
+    interpret: bool | None = None,
+    state: "PallasSearchState | None" = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """v4 driver: AOT per-launch dispatch with hierarchical device-side
+    count reduction and batched index-only pair extraction.
+
+    Same contract as ``banded_adjacency_pallas``; kept separate so the two
+    drivers can be compared (VDF_BENCH_BACKEND=pallas4).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = not _is_tpu()
+    n = packed.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    if state is None:
+        state = PallasSearchState(packed, bounds)
+
+    fn = _build_chunk(interpret)
+    scal0 = jnp.zeros((3 + R_TILES,), jnp.int32)
+    compiled = fn.lower(scal0, state.pm1, state.bounds_dev).compile()
+    group_stack, super_stack, extract_tiles = _v4_jits()
+
+    n_row_tiles = -(-n // TILE_M)
+    launches: list[tuple[int, int]] = []
+    for rt in range(n_row_tiles):
+        ct0 = int(state.first_ct[rt])
+        remaining = int(state.n_ct[rt])
+        while remaining > 0:
+            launches.append((rt, ct0))
+            ct0 += BAND_TILES
+            remaining -= BAND_TILES
+
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    hit_tiles: list[tuple[object, int, int, int, int]] = []
+    zero_group = None
+
+    def extract_pending_hits() -> None:
+        """Batched index-only extraction of accumulated hit tiles."""
+        nonlocal hit_tiles
+        if not hit_tiles:
+            return
+        zero_tile = jnp.zeros((TILE_M // 32, TILE_N), jnp.int32)
+        for s0 in range(0, len(hit_tiles), EXTRACT_ROUND):
+            round_hits = hit_tiles[s0 : s0 + EXTRACT_ROUND]
+            tiles = [p[int(i), int(j)] for (p, i, j, _, _) in round_hits]
+            tiles += [zero_tile] * (EXTRACT_ROUND - len(tiles))
+            hh, rr, bb, cc = (
+                np.asarray(a) for a in extract_tiles(*tiles)
+            )
+            valid = hh >= 0
+            if (~valid).sum() == 0:
+                # capacity hit: fall back to per-tile fetch for this round
+                for p, i, j, rbase, cbase in round_hits:
+                    roff, coff = _tile_bits_to_pairs(
+                        np.asarray(p[int(i), int(j)])
+                    )
+                    out_i.append(roff.astype(np.int64) + rbase)
+                    out_j.append(coff.astype(np.int64) + cbase)
+                continue
+            hh, rr, bb, cc = hh[valid], rr[valid], bb[valid], cc[valid]
+            rbases = np.array(
+                [h[3] for h in round_hits] + [0] * (EXTRACT_ROUND - len(round_hits)),
+                dtype=np.int64,
+            )
+            cbases = np.array(
+                [h[4] for h in round_hits] + [0] * (EXTRACT_ROUND - len(round_hits)),
+                dtype=np.int64,
+            )
+            out_i.append(rbases[hh] + rr.astype(np.int64) * 32 + bb)
+            out_j.append(cbases[hh] + cc.astype(np.int64))
+        hit_tiles = []
+
+    # dispatch in super-windows; counts reduced on device, fetched once
+    per_super = GROUP * GROUPS_PER_FETCH
+    for w0 in range(0, len(launches), per_super):
+        wlaunches = launches[w0 : w0 + per_super]
+        packed_refs: list = []
+        group_handles: list = []
+        counts_buf: list = []
+        scal = np.zeros(3 + R_TILES, dtype=np.int32)
+        for rt, ct0 in wlaunches:
+            scal[:] = (tolerance_int, n, rt, ct0)
+            p, c = compiled(jnp.asarray(scal), state.pm1, state.bounds_dev)
+            if interpret:
+                # emulated DMA is not safe across in-flight launches
+                c.block_until_ready()
+            packed_refs.append(p)
+            counts_buf.append(c)
+            if len(counts_buf) == GROUP:
+                group_handles.append(group_stack(*counts_buf))
+                counts_buf = []
+        if counts_buf:
+            if zero_group is None:
+                zero_group = jnp.zeros(
+                    (R_TILES, BAND_TILES), jnp.int32
+                )
+            counts_buf += [zero_group] * (GROUP - len(counts_buf))
+            group_handles.append(group_stack(*counts_buf))
+        gpad = GROUPS_PER_FETCH - len(group_handles)
+        if gpad:
+            zg = jnp.zeros((GROUP, R_TILES, BAND_TILES), jnp.int32)
+            group_handles += [zg] * gpad
+        counts_np = np.asarray(super_stack(*group_handles))
+        # counts_np: [GROUPS_PER_FETCH, GROUP, R_TILES, BAND_TILES]
+        for g, k, i, j in zip(*np.nonzero(counts_np > 0)):
+            idx = int(g) * GROUP + int(k)
+            if idx >= len(wlaunches):
+                continue
+            rt, ct0 = wlaunches[idx]
+            hit_tiles.append(
+                (
+                    packed_refs[idx], int(i), int(j),
+                    (rt + int(i)) * TILE_M,
+                    (ct0 + int(j)) * TILE_N,
+                )
+            )
+        # extraction batched across windows; only hit launches keep refs
+        if len(hit_tiles) >= 4 * EXTRACT_ROUND:
+            extract_pending_hits()
+
+    extract_pending_hits()
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    order = np.lexsort((jj, ii))
+    return ii[order], jj[order]
+
 
 @functools.cache
 def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
