@@ -278,3 +278,36 @@ def test_cli_end_to_end_json(tmp_path, vids):
     assert r3.returncode == 0, r3.stderr
     assert (thumbs / "idx.json").exists()
     assert (thumbs / "0.jpg").exists() and (thumbs / "1.jpg").exists()
+
+
+@pytest.mark.slow
+def test_cli_with_refs(tmp_path, vids):
+    """--with-refs end to end: cat.1 as the reference finds the other two
+    cat variants among the candidates."""
+    import shutil
+
+    refs = tmp_path / "refs"
+    cands = tmp_path / "cands"
+    refs.mkdir()
+    cands.mkdir()
+    shutil.copy(vids[0], refs / "cat.1.mp4")
+    for v in vids[1:]:
+        shutil.copy(v, cands / os.path.basename(v))
+
+    r = _run_cli(
+        [
+            "--files", str(cands),
+            "--with-refs", str(refs),
+            "--cache-file", str(tmp_path / "cache.json"),
+            "--cropdetect", "letterbox",
+            "--output-format", "json",
+        ],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    groups = json.loads(r.stdout)
+    assert len(groups) == 1
+    assert groups[0]["reference"].endswith("refs/cat.1.mp4")
+    assert sorted(
+        os.path.basename(p) for p in groups[0]["duplicates"]
+    ) == ["cat.2.mp4", "cat.3.mp4"]
