@@ -16,7 +16,7 @@ extrapolated).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: VDF_BENCH_N (library size, default 1_000_000),
-VDF_BENCH_BACKEND (pallas|device|host, default auto).
+VDF_BENCH_BACKEND (pallas|pallas4|band|device|host, default auto).
 """
 
 from __future__ import annotations
