@@ -34,7 +34,7 @@ import numpy as np
 
 from ..definitions import HASH_BITS_PADDED
 
-TILE_M = 512  # row tile (VMEM-bounded: dist + adj tiles are TILE_M x TILE_N)
+TILE_M = 512  # row tile (VMEM-bounded: the f32 dot + mask tiles at 1024 OOM at 28 MB)
 TILE_N = 1024
 # One row tile x BAND_TILES column tiles per launch: Mosaic compile time
 # through the remote helper scales with grid size (a 256-step grid took
