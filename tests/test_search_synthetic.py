@@ -281,3 +281,26 @@ def test_backend_fuzz_host_vs_naive(seed):
     tol = float(rng.uniform(0.0, 0.6))
     expected = search(hashes, tol, backend="naive")
     assert search(hashes, tol, backend="host") == expected
+
+
+@pytest.mark.slow
+def test_auto_backend_threshold_parity():
+    """Above _DEVICE_SEARCH_THRESHOLD, backend='auto' switches to the
+    adjacency path; groups must equal the naive loop."""
+    rng = np.random.default_rng(77)
+    n = 5000
+    hashes = _named([VideoHash.random_hash(rng) for _ in range(n)])
+    durs = np.sort(rng.integers(100, 140, n))
+    hashes = [h.with_duration(int(d)) for h, d in zip(hashes, durs)]
+    for st in (40, 400, 4000):
+        for k in (1, 2):
+            hashes[st + k] = (
+                hashes[st]
+                .hash_with_spatial_distance(80, rng)
+                .with_src_path(hashes[st + k].src_path)
+                .with_duration(hashes[st].duration)
+            )
+    expected = search(hashes, 0.3, backend="naive")
+    got = search(hashes, 0.3, backend="auto")
+    assert got == expected
+    assert len(expected) == 3
