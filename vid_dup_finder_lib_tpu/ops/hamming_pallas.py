@@ -543,6 +543,7 @@ def banded_adjacency_pallas(
     # batch, and transfer only the tiles that contain matches.
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
+    hit_tiles: list[tuple[object, int, int]] = []
     for b0 in range(0, len(launches), sweep_calls):
         batch = launches[b0 : b0 + sweep_calls]
         scalars_all = np.zeros((sweep_calls, 3 + R_TILES), dtype=np.int32)
@@ -559,11 +560,47 @@ def banded_adjacency_pallas(
         counts_np = np.asarray(counts_all)  # [SWEEP_CALLS, R_TILES, BAND]
         for k, i, j in zip(*np.nonzero(counts_np > 0)):
             rt0, ct0 = batch[int(k)]
-            roff, coff = _tile_bits_to_pairs(
-                np.asarray(packed_all[int(k), int(i), int(j)])
+            # slice the hit tile out (device op; frees the batch buffer)
+            # and defer the transfer: per-tile d2h latency (~30 ms) was a
+            # fixed ~6 s cost whenever matches existed.
+            hit_tiles.append(
+                (
+                    packed_all[int(k), int(i), int(j)],
+                    (rt0 + int(i)) * TILE_M,
+                    (ct0 + int(j)) * TILE_N,
+                )
             )
-            out_i.append(roff.astype(np.int64) + (rt0 + int(i)) * TILE_M)
-            out_j.append(coff.astype(np.int64) + (ct0 + int(j)) * TILE_N)
+
+    # Phase 3: batched index-only extraction of all hit tiles (device
+    # stacks + one sized nonzero + one small index fetch per round).
+    _, _, extract_tiles = _v4_jits()
+    zero_tile = jnp.zeros((TILE_M // 32, TILE_N), jnp.int32)
+    for s0 in range(0, len(hit_tiles), EXTRACT_ROUND):
+        round_hits = hit_tiles[s0 : s0 + EXTRACT_ROUND]
+        tiles = [t for (t, _, _) in round_hits]
+        tiles += [zero_tile] * (EXTRACT_ROUND - len(tiles))
+        hh, rr, bb, cc = (np.asarray(a) for a in extract_tiles(*tiles))
+        valid = hh >= 0
+        if not (~valid).any():
+            # index capacity possibly exceeded: per-tile fallback
+            for t, rbase, cbase in round_hits:
+                roff, coff = _tile_bits_to_pairs(np.asarray(t))
+                out_i.append(roff.astype(np.int64) + rbase)
+                out_j.append(coff.astype(np.int64) + cbase)
+            continue
+        hh, rr, bb, cc = hh[valid], rr[valid], bb[valid], cc[valid]
+        rbases = np.array(
+            [h[1] for h in round_hits]
+            + [0] * (EXTRACT_ROUND - len(round_hits)),
+            dtype=np.int64,
+        )
+        cbases = np.array(
+            [h[2] for h in round_hits]
+            + [0] * (EXTRACT_ROUND - len(round_hits)),
+            dtype=np.int64,
+        )
+        out_i.append(rbases[hh] + rr.astype(np.int64) * 32 + bb)
+        out_j.append(cbases[hh] + cc.astype(np.int64))
 
     if not out_i:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
