@@ -192,7 +192,7 @@ def _build_chunk(interpret: bool):
 # Launches per device sweep call: lax.scan drives SWEEP_CALLS kernel
 # launches inside ONE jit, because per-launch Python dispatch (~0.5 ms on
 # this single-core host) dominated the 0.14 ms device cost of a launch.
-SWEEP_CALLS = 256
+SWEEP_CALLS = 1024
 
 # v4 driver granularities: launches are count-reduced on device in GROUPs,
 # GROUPS_PER_FETCH groups share one d2h counts fetch, and matching tiles
