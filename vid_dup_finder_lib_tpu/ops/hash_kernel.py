@@ -6,10 +6,12 @@ materialized transposes per video, a whole batch of 16x16x16 frame cubes is
 hashed in one XLA program — three batched 16x16 matmuls (one per cube axis,
 they ride the MXU), sign, and a bitpack matmul, all fused by XLA.
 
-Precision: the reference computes in f64; TPU matmuls here are f32 (exact
-inputs: integer pixel values and f64-rounded cosines).  Signs can differ
-from the golden f64 model only where a coefficient is within f32 rounding
-of zero — empirically <0.05% of bits on random inputs, absorbed by the
+Precision: the reference computes in f64; TPU matmuls here are f32 at
+``Precision.HIGHEST`` (6-pass bf16 emulation of true f32 on the MXU —
+without it TPU einsums default to one-pass bf16 and sign bits of
+near-zero DCT coefficients flip at 2^-8 scale).  Signs can differ from
+the golden f64 model only where a coefficient is within f32 rounding of
+zero — empirically <0.05% of bits on random inputs, absorbed by the
 search tolerance (BASELINE.md defines parity at the dup-group level).
 """
 
@@ -37,11 +39,12 @@ def _build():
         (the reference transposes each frame into the cube, dct_3d.rs:40-44),
         DCT-II along each axis, sign of the 10x10x10 corner, Lsb0 bitpack.
         """
+        hi = jax.lax.Precision.HIGHEST  # true-f32 MXU passes, not bf16
         x = frames.astype(jnp.float32).transpose(0, 1, 3, 2) - 128.0
         # DCT along each cube axis: y, x, t (order irrelevant).
-        x = jnp.einsum("ky,btxy->btxk", dct, x)
-        x = jnp.einsum("jx,btxk->btjk", dct, x)
-        x = jnp.einsum("it,btjk->bijk", dct, x)
+        x = jnp.einsum("ky,btxy->btxk", dct, x, precision=hi)
+        x = jnp.einsum("jx,btxk->btjk", dct, x, precision=hi)
+        x = jnp.einsum("it,btjk->bijk", dct, x, precision=hi)
         corner = x[:, :HASH_SIZE, :HASH_SIZE, :HASH_SIZE]
         bits = (corner > 0.0).reshape(frames.shape[0], HASH_BITS)
         padded = jnp.pad(bits, ((0, 0), (0, HASH_BITS_PADDED - HASH_BITS)))

@@ -73,8 +73,11 @@ def _blur_pass(img: np.ndarray, taps: np.ndarray, axis: int) -> np.ndarray:
 
 
 def gaussian_blur_u8(img: np.ndarray, sigma: float) -> np.ndarray:
+    # image::imageops::blur samples vertically first, then horizontally,
+    # with u8 rounding between the passes; the order matters at 1-LSB scale
+    # and that LSB feeds the >20 motion threshold.
     taps = _gaussian_taps(sigma)
-    return _blur_pass(_blur_pass(img, taps, axis=1), taps, axis=0)
+    return _blur_pass(_blur_pass(img, taps, axis=0), taps, axis=1)
 
 
 def threshold_binary(img: np.ndarray, thresh: int) -> np.ndarray:

@@ -171,11 +171,12 @@ def _build_sharded_hash(axis: str):
 
     def hash_shard(cubes):
         """uint8[Bs, 16, 16, 16] -> uint32[Bs, 32] on each chip."""
+        hi = jax.lax.Precision.HIGHEST  # match hash_kernel/hash_pallas bits
         dct = jnp.asarray(dct_np)
         x = cubes.astype(jnp.float32).transpose(0, 1, 3, 2) - 128.0
-        x = jnp.einsum("ky,btxy->btxk", dct, x)
-        x = jnp.einsum("jx,btxk->btjk", dct, x)
-        x = jnp.einsum("it,btjk->bijk", dct, x)
+        x = jnp.einsum("ky,btxy->btxk", dct, x, precision=hi)
+        x = jnp.einsum("jx,btxk->btjk", dct, x, precision=hi)
+        x = jnp.einsum("it,btjk->bijk", dct, x, precision=hi)
         corner = x[:, :HASH_SIZE, :HASH_SIZE, :HASH_SIZE]
         bits = (corner > 0.0).reshape(cubes.shape[0], HASH_SIZE**3)
         padded = jnp.pad(bits, ((0, 0), (0, HASH_BITS_PADDED - HASH_SIZE**3)))
