@@ -68,6 +68,53 @@ def test_ring_candidate_scan_matches_host(mesh8):
         assert dist[i, best_idx[i]] == exp_best[i]
 
 
+def test_ring_adjacency_matches_host(mesh8):
+    """Exact pair extraction from the ring scan == the host banded sweep."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.parallel import banded_adjacency_ring
+
+    rng = np.random.default_rng(10)
+    n = 700  # not a multiple of the shard size: exercises padding
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    durs = np.sort(rng.integers(50, 200, n))
+    bounds = np.searchsorted(
+        durs, (durs * 1.1).astype(np.int64), side="right"
+    )
+    for tol in (350, 480):
+        hi, hj = banded_adjacency_host(packed, bounds, tol)
+        ri, rj = banded_adjacency_ring(packed, bounds, tol, mesh=mesh8)
+        assert np.array_equal(hi, ri) and np.array_equal(hj, rj)
+
+
+def test_ring_search_groups_match_host_10k(mesh8):
+    """search(backend='ring') returns IDENTICAL group lists to the host
+    backend on >= 10k clustered synthetic hashes (the greedy consume
+    semantics of search_algorithm.rs:81-171 survive sharding)."""
+    from vid_dup_finder_lib_tpu import search
+
+    rng = np.random.default_rng(11)
+    n = 10240
+    n_centers = 96
+    centers = rng.integers(0, 2, (n_centers, 1000)).astype(np.uint8)
+    bits = centers[rng.integers(0, n_centers, n)]
+    bits = bits ^ (rng.random((n, 1000)) < 0.08)  # ~147-bit intra dist
+    durs = np.sort(rng.integers(100, 200, n))
+    hashes = [
+        VideoHash.from_bits(
+            bits[i], src_path=f"/v/{i:05d}", duration=int(durs[i])
+        )
+        for i in range(n)
+    ]
+    host_groups = search(hashes, 0.25, backend="host")
+    ring_groups = search(hashes, 0.25, backend="ring")
+    host_paths = [list(g.contained_paths()) for g in host_groups]
+    ring_paths = [list(g.contained_paths()) for g in ring_groups]
+    assert len(host_paths) > 50  # the fixture really forms groups
+    assert host_paths == ring_paths
+
+
 def test_pallas_hamming_matches_host_interpret():
     from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
     from vid_dup_finder_lib_tpu.ops.hamming_pallas import (

@@ -267,6 +267,10 @@ def banded_adjacency(
         from .hamming_band import banded_adjacency_band
 
         return banded_adjacency_band(packed, bounds, tolerance_int)
+    if backend == "ring":
+        from ..parallel.sharded_search import banded_adjacency_ring
+
+        return banded_adjacency_ring(packed, bounds, tolerance_int)
     if backend == "device":
         return banded_adjacency_device(packed, bounds, tolerance_int)
     # auto

@@ -12,6 +12,15 @@ parallelism is a rayon pool over videos.  The TPU-native equivalents:
 """
 
 from .mesh import make_mesh
-from .sharded_search import ring_candidate_scan, sharded_hash_batch
+from .sharded_search import (
+    banded_adjacency_ring,
+    ring_candidate_scan,
+    sharded_hash_batch,
+)
 
-__all__ = ["make_mesh", "ring_candidate_scan", "sharded_hash_batch"]
+__all__ = [
+    "banded_adjacency_ring",
+    "make_mesh",
+    "ring_candidate_scan",
+    "sharded_hash_batch",
+]

@@ -126,7 +126,7 @@ class Search:
         tol = _tolerance_int(tolerance)
 
         use_adjacency = backend != "naive" and (
-            backend in ("device", "host", "pallas", "native", "band")
+            backend in ("device", "host", "pallas", "native", "band", "ring")
             or n >= _DEVICE_SEARCH_THRESHOLD
         )
         if use_adjacency:
