@@ -23,7 +23,7 @@ from vid_dup_finder_lib_tpu.video_hash import VideoHash
 
 _REF_VIDS = "/root/reference/vid_dup_finder_lib/examples/vids"
 _DECODABLE = ["cat.1.mp4", "cat.3.webm", "dog.1.mp4", "dog.3.webm"]
-_ORACLE = os.path.join(os.path.dirname(__file__), "data", "reference_vids_hashes.json")
+_ORACLE = os.path.join(os.path.dirname(__file__), "oracles", "reference_vids_hashes.json")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(_REF_VIDS), reason="reference videos not available"

@@ -24,7 +24,29 @@ class VdfError(Exception):
             return NotVideo()
         if kind == "NotEnoughFrames":
             return NotEnoughFrames()
+        if kind in _FFMPEG_KINDS:
+            # 7-kind ffmpeg taxonomy (ffmpeg_error_kind.rs:9-40): cached
+            # errors keep their diagnosis across cache round-trips
+            from .ingest import ffmpeg_harness as fh
+
+            cls = getattr(fh, kind)
+            try:
+                return cls(msg) if _FFMPEG_KINDS[kind] else cls()
+            except TypeError:
+                pass
         return VidProc(msg)
+
+
+# kind name -> takes a message payload
+_FFMPEG_KINDS = {
+    "FfmpegNotFound": False,
+    "FfmpegIo": True,
+    "FfmpegInternal": True,
+    "Utf8Conversion": False,
+    "InvalidResolution": False,
+    "FfmpegInfo": True,
+    "FfmpegOther": True,
+}
 
 
 @dataclass

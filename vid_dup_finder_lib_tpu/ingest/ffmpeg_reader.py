@@ -14,6 +14,7 @@ safety rails: wall-clock timeout, memory guard, child reaping.
 from __future__ import annotations
 
 import subprocess
+import threading
 import time
 from dataclasses import dataclass
 from typing import Iterator
@@ -68,6 +69,16 @@ class FfmpegFrameReader:
         deadline = (
             time.monotonic() + self.timeout_secs if self.timeout_secs else None
         )
+        # watchdog: the deadline check below only runs between frames, so a
+        # child that hangs mid-frame would block read() forever — the timer
+        # kills it at the deadline, turning the hang into an EOF we can
+        # diagnose (the reference's frame iter has the same between-frames
+        # check; the kill-timer is the run-harness watchdog applied here).
+        watchdog = None
+        if self.timeout_secs:
+            watchdog = threading.Timer(self.timeout_secs, proc.kill)
+            watchdog.daemon = True
+            watchdog.start()
         read_total = 0
         try:
             assert proc.stdout is not None
@@ -76,6 +87,8 @@ class FfmpegFrameReader:
                     raise VidProc("ffmpeg frame read timed out")
                 buf = proc.stdout.read(frame_bytes)
                 if not buf:
+                    if deadline is not None and time.monotonic() > deadline:
+                        raise VidProc("ffmpeg frame read timed out")
                     break
                 while len(buf) < frame_bytes:
                     more = proc.stdout.read(frame_bytes - len(buf))
@@ -83,6 +96,8 @@ class FfmpegFrameReader:
                         break
                     buf += more
                 if len(buf) < frame_bytes:
+                    if deadline is not None and time.monotonic() > deadline:
+                        raise VidProc("ffmpeg frame read timed out")
                     break  # truncated trailing frame
                 read_total += frame_bytes
                 if read_total > MAX_STREAM_BYTES:
@@ -94,6 +109,8 @@ class FfmpegFrameReader:
                     else arr.reshape(h, w, 3)
                 )
         finally:
+            if watchdog is not None:
+                watchdog.cancel()
             # reap the child to avoid zombies (ffmpeg_ops.rs:107-112)
             if proc.poll() is None:
                 proc.kill()

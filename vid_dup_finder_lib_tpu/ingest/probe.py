@@ -12,11 +12,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import subprocess
 from dataclasses import dataclass
 from pathlib import Path
 
-from ..errors import NotVideo, VidProc
+from ..errors import NotVideo
 
 FFPROBE_TIMEOUT_SECS = 60  # reference watchdog timeout (ffmpeg_ops.rs:18)
 
@@ -50,17 +49,24 @@ class VideoInfo:
             "-print_format", "json",
             os.fspath(src_path),
         ]
+        from .ffmpeg_harness import (
+            FfmpegInternal,
+            FfmpegIo,
+            FfmpegNotFound,
+            run_ffmpeg_command,
+        )
+
         try:
-            out = subprocess.run(
-                cmd,
-                capture_output=True,
-                timeout=FFPROBE_TIMEOUT_SECS,
-                check=True,
-            ).stdout
-        except subprocess.CalledProcessError as e:
+            out = run_ffmpeg_command(
+                cmd, timeout_secs=FFPROBE_TIMEOUT_SECS
+            )
+        except FfmpegInternal as e:
+            # nonzero ffprobe exit = no parseable video (keeps the repo's
+            # established NotVideo surface; the FfmpegInternal cause, with
+            # its truncated stderr, stays chained for diagnosis)
             raise NotVideo() from e
-        except (subprocess.TimeoutExpired, OSError) as e:
-            raise VidProc(f"ffprobe failed: {e}") from e
+        except (FfmpegNotFound, FfmpegIo):
+            raise
         stats = json.loads(out)
 
         fmt = stats.get("format", {})
