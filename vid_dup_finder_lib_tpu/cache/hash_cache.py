@@ -204,6 +204,7 @@ class VideoHashFilesystemCache:
         reload_errors: bool = False,
         decode_workers: int = 8,
         progress: Callable[[int, int], None] | None = None,
+        device_preproc: bool | None = None,
     ) -> int:
         """Bring the cache up to date for ``paths``.
 
@@ -227,6 +228,25 @@ class VideoHashFilesystemCache:
 
         if not stale:
             return 0
+
+        if device_preproc is None:
+            device_preproc = os.environ.get(
+                "VDF_DEVICE_PREPROC", ""
+            ) not in ("", "0")
+        if device_preproc:
+            # decode-only host path: letterbox + resize + hash on device
+            from ..models.pipeline import hash_videos
+
+            res = hash_videos(
+                stale,
+                self.options,
+                decode_workers=decode_workers,
+                progress=progress,
+                device_preproc=True,
+            )
+            for p, v in res.items():
+                self._cache.insert_with_mtime(p, v, mtime_secs(p) or 0)
+            return len(stale)
 
         done = 0
         with ThreadPoolExecutor(max_workers=decode_workers) as pool:

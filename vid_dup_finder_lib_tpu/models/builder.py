@@ -163,6 +163,41 @@ def prepare_frames(
     return cube, duration
 
 
+def prepare_raw_frames(
+    src_path: str | os.PathLike, opts: CreationOptions
+) -> tuple[np.ndarray, Crop | None, int]:
+    """Decode + host crop *detection* only — no host pixel resampling.
+
+    The device-preproc pipeline path (reference hot loop #3,
+    video_hash.rs:59, moved onto the MXU): returns
+    (uint8[16, H, W] raw frames, crop, duration_secs).  For LETTERBOX the
+    crop is None — detection runs batched on device
+    (``ops/letterbox_device``); MOTION/NONE crops are detected here (the
+    motion morphology is scipy by design) and applied on device as part
+    of the resize weights.
+    """
+    src_path = os.fspath(src_path)
+    cfg = build_frame_reader(src_path, opts)
+    frames = iterate_video_frames(cfg)
+    # equal-size check, as crop_video_frames does (video_hash_builder.rs:188)
+    for f1, f2 in zip(frames, frames[1:]):
+        if f1.shape != f2.shape:
+            raise VidProc(
+                "frames not all same size: Expected "
+                f"{f1.shape[::-1]}, Actual {f2.shape[::-1]}"
+            )
+    if opts.cropdetect is Cropdetect.LETTERBOX:
+        crop = None
+    else:
+        crop = detect_crop(frames, opts.cropdetect)
+        if crop is None:
+            raise NotEnoughFrames()
+    if len(frames) < DCT_SIZE:
+        raise NotEnoughFrames()
+    duration = int(get_duration(src_path))  # probed again, as the ref does
+    return np.stack(frames[:DCT_SIZE]), crop, duration
+
+
 def gen_hash(src_path: str | os.PathLike, opts: CreationOptions) -> VideoHash:
     """(video_hash_builder.rs:214-223)"""
     src_path = os.fspath(src_path)

@@ -27,6 +27,7 @@ DEFAULT_BATCH = 256
 def hash_raw_frames_device(
     frames: np.ndarray,
     letterbox: bool = True,
+    crops: list | None = None,
 ) -> np.ndarray:
     """Fully on-device preprocessing + hash for a same-resolution batch.
 
@@ -36,6 +37,11 @@ def hash_raw_frames_device(
     kernel.  This is BASELINE.json config 5 ("cropdetect preproc fused"):
     after decode, no pixel touches the host.
 
+    Pass ``crops`` (one per video) to skip detection — the production
+    path for Cropdetect.MOTION/NONE, whose detection runs on host
+    (motion morphology is scipy by design) while resize+hash stay on
+    device.
+
     Crops are data-dependent, so videos are grouped by detected crop and
     each group resizes with its own precomputed weight pair.
     """
@@ -44,7 +50,9 @@ def hash_raw_frames_device(
     from ..ops.resize_device import resize_frames_device
 
     b = frames.shape[0]
-    if letterbox:
+    if crops is not None:
+        assert len(crops) == b
+    elif letterbox:
         crops = cropdetect_letterbox_device(frames)
     else:
         h, w = frames.shape[2:]
@@ -68,11 +76,27 @@ def hash_videos(
     decode_workers: int = 8,
     progress: Callable[[int, int], None] | None = None,
     use_pallas: bool | None = None,
+    device_preproc: bool | None = None,
 ) -> dict[str, VideoHash | VdfError]:
     """Hash many videos; returns {path: VideoHash | VdfError}.
 
     Decode errors become values (the cache stores them), not exceptions.
+
+    ``device_preproc`` (default: VDF_DEVICE_PREPROC env) moves the
+    letterbox detection and Lanczos3 resize onto the device too — the
+    host only decodes; same-resolution batches ride
+    ``hash_raw_frames_device``.  Group-parity with the host path is
+    pinned by tests (<= 2 near-zero DCT sign flips per hash).
     """
+    if device_preproc is None:
+        device_preproc = os.environ.get("VDF_DEVICE_PREPROC", "") not in (
+            "",
+            "0",
+        )
+    if device_preproc:
+        return _hash_videos_device_preproc(
+            paths, options, batch_size, decode_workers, progress
+        )
     paths = [os.fspath(p) for p in paths]
     results: dict[str, VideoHash | VdfError] = {}
 
@@ -132,4 +156,60 @@ def hash_videos(
             results[p] = VideoHash.from_packed_u32(
                 np.ascontiguousarray(row), p, dur
             )
+    return results
+
+
+def _hash_videos_device_preproc(
+    paths: Iterable[str],
+    options: CreationOptions,
+    batch_size: int,
+    decode_workers: int,
+    progress: Callable[[int, int], None] | None,
+) -> dict[str, VideoHash | VdfError]:
+    """Device-preproc variant: host decodes raw frames only; letterbox
+    detection, Lanczos3 crop+resize and the DCT hash all run on device
+    over same-resolution batches (SURVEY.md section 7.2 step 4)."""
+    from ..definitions import Cropdetect
+    from .builder import prepare_raw_frames
+
+    paths = [os.fspath(p) for p in paths]
+    results: dict[str, VideoHash | VdfError] = {}
+    host_crops = options.cropdetect is not Cropdetect.LETTERBOX
+
+    def prepare(p: str):
+        try:
+            frames, crop, dur = prepare_raw_frames(p, options)
+            return (p, frames, crop, dur, None)
+        except VdfError as e:
+            return (p, None, None, 0, e)
+        except Exception as e:
+            return (p, None, None, 0, VidProc(f"{e!r}"))
+
+    def flush(batch) -> None:
+        frames = np.stack([f for (_, f, _, _, _) in batch])
+        crops = [c for (_, _, c, _, _) in batch] if host_crops else None
+        packed = hash_raw_frames_device(frames, crops=crops)
+        for (p, _, _, dur, _), row in zip(batch, packed):
+            results[p] = VideoHash.from_packed_u32(
+                np.ascontiguousarray(row), p, dur
+            )
+
+    groups: dict[tuple[int, int], list] = {}
+    done = 0
+    total = len(paths)
+    with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        for item in pool.map(prepare, paths):
+            p, frames, crop, dur, err = item
+            done += 1
+            if err is not None:
+                results[p] = err
+            else:
+                res = frames.shape[1:]
+                groups.setdefault(res, []).append(item)
+                if len(groups[res]) >= batch_size:
+                    flush(groups.pop(res))
+            if progress:
+                progress(done, total)
+    for batch in groups.values():
+        flush(batch)
     return results

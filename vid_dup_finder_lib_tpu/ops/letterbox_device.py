@@ -64,7 +64,9 @@ def _build(interpret_unused: bool = False):
         )[..., 0]
         matching = top - bot
         strip_len = strips.shape[-1]
-        return matching / strip_len > MIN_PROPORTION
+        # exact integer form of matching/len > 0.9: f32 division here
+        # disagrees with the host's f64 at exact-0.9 ratios (e.g. 108/120)
+        return 10 * matching > 9 * strip_len
 
     def take_while(flags):
         """count of leading True along the last axis."""
