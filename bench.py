@@ -166,9 +166,14 @@ def main() -> None:
             np.minimum(bounds[:warm_n], warm_n),
             TOLERANCE_INT,
         )
+        # Build the device state exactly ONCE, like production: repeated
+        # 2 GB pm1 builds trip an allocator/tunnel pathology (4.6 s ->
+        # 18.7 s -> 23.2 s measured back-to-back), so a "warm" rebuild is
+        # slower than the cold build it was meant to calibrate.  Cold
+        # build on an idle device measures 0.45-0.7 s (compile cached).
         t0 = time.time()
         state = PallasSearchState(packed, bounds)
-        setup_secs = time.time() - t0  # one-time h2d upload + unpack
+        setup_secs = time.time() - t0
 
         def run():
             return sweep_fn(packed, bounds, TOLERANCE_INT, state=state)
@@ -199,15 +204,21 @@ def main() -> None:
     assert missing == 0, f"{missing} planted pairs missed"
 
     base_rate = cpu_baseline_rate(packed, bounds)
-    rate = comps / dt
+    rate_sweep = comps / dt
+    # the honest headline: library upload + unpack (setup) INCLUDED —
+    # what a cold search over a host-resident library actually costs
+    rate_e2e = comps / (dt + setup_secs)
 
     print(
         json.dumps(
             {
                 "metric": f"hamming_comps_per_sec@{n}",
-                "value": round(rate, 1),
+                "value": round(rate_e2e, 1),
                 "unit": "comparisons/s",
-                "vs_baseline": round(rate / base_rate, 2),
+                "vs_baseline": round(rate_e2e / base_rate, 2),
+                "sweep_only_rate": round(rate_sweep, 1),
+                "sweep_secs": round(dt, 3),
+                "setup_secs": round(setup_secs, 3),
             }
         )
     )

@@ -29,18 +29,23 @@ column c — keeping the lane dimension at TILE_N.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 from ..definitions import HASH_BITS_PADDED
 
-TILE_M = 512  # row tile (VMEM-bounded: the f32 dot + mask tiles at 1024 OOM at 28 MB)
-TILE_N = 1024
-# One row tile x BAND_TILES column tiles per launch: Mosaic compile time
-# through the remote helper scales with grid size (a 256-step grid took
-# >25 min), while launches pipeline back-to-back via async dispatch anyway.
-R_TILES = 1
-BAND_TILES = 16
+# Tile geometry (env-overridable for perf experiments; the defaults are
+# the measured-best on v5e — see ARCHITECTURE.md perf log).
+# TILE_M x TILE_N is one distance tile; a launch covers an R_TILES x
+# BAND_TILES grid of them.  Mosaic compile time through the remote helper
+# scales with grid size (~7.5 s/step, one-time + persistently cached);
+# per-LAUNCH dispatch overhead (~0.45 ms via lax.scan) is what a bigger
+# grid amortizes away.
+TILE_M = int(os.environ.get("VDF_TILE_M", "512"))
+TILE_N = int(os.environ.get("VDF_TILE_N", "1024"))
+R_TILES = int(os.environ.get("VDF_R_TILES", "1"))
+BAND_TILES = int(os.environ.get("VDF_BAND_TILES", "16"))
 
 
 def _is_tpu() -> bool:
@@ -56,9 +61,11 @@ def _is_tpu() -> bool:
 def _build_chunk(interpret: bool):
     """Compiled sweep of R_TILES row tiles x BAND_TILES column tiles.
 
-    scalars (int32[3 + R_TILES]):
+    scalars (int32[3 + 2 * R_TILES]):
       [0] tolerance, [1] n, [2] first row-tile index,
-      [3 + i] first column-tile index for row tile i.
+      [3 + i] first column-tile index for row tile i,
+      [3 + R_TILES + i] min duration-band bound over row tile i (the
+      interior-tile fast path skips per-element masking).
     """
     from ..utils.jaxconfig import enable_compilation_cache
 
@@ -76,6 +83,11 @@ def _build_chunk(interpret: bool):
         n = scal_ref[1]
         r0 = (scal_ref[2] + i) * TILE_M
         c0 = (scal_ref[3 + i] + j) * TILE_N
+        # min duration-band bound over this launch's row tile i
+        # (host-precomputed): tiles fully inside every row's band skip the
+        # per-element id masks — most tiles are interior, and the masking
+        # VPU passes cost as much as the MXU dot itself.
+        min_bound = scal_ref[3 + R_TILES + i]
 
         a = rows_ref[...]  # [TILE_M, 1024] bf16 in {-1, 0, +1}
         b = cols_ref[...]  # [TILE_N, 1024] bf16
@@ -90,43 +102,57 @@ def _build_chunk(interpret: bool):
         # storage bits count, like the reference's 16-word popcount)
         dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(jnp.float32)
 
-        # narrow index vectors broadcast against the tile (full [M, N] int32
-        # index matrices would blow the VMEM budget)
-        row_ids = r0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_M, 1), 0)
-        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_N), 1)
-        bounds = bounds_ref[...]  # [TILE_M, 1]
-        col_limit = jnp.minimum(bounds, n)  # [TILE_M, 1]
-        adj = (
-            (dot >= dot_thresh)
-            & (col_ids > row_ids)
-            & (col_ids < col_limit)
-            & (row_ids < n)
+        interior = (
+            (c0 >= r0 + TILE_M)
+            & (c0 + TILE_N <= min_bound)
+            & (r0 + TILE_M <= n)
         )
 
-        # Transposed bitpack via MXU: word [r, c] collects rows r*32..r*32+31
-        # of column c.  Two 16-bit-group f32 matmuls keep sums exact; the
-        # pack matrices are host-precomputed constants (building them
-        # per grid step with iota+exp2 costs ~100us of VPU transcendentals
-        # per tile and dominated the kernel).
-        pow_lo = pow_lo_ref[...]
-        pow_hi = pow_hi_ref[...]
-        adj_f = adj.astype(jnp.float32)
-        dims = (((1,), (0,)), ((), ()))
-        lo = jnp.round(
-            jax.lax.dot_general(
-                pow_lo, adj_f, dims,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        def pack_and_store(adj) -> None:
+            # Transposed bitpack via MXU: word [r, c] collects rows
+            # r*32..r*32+31 of column c.  Two 16-bit-group bf16 matmuls:
+            # EXACT, because the operands are {0, 1} and power-of-two
+            # weights <= 2^15 (all bf16-representable) and accumulation is
+            # f32 — and 6x cheaper than the HIGHEST f32 pack this replaces.
+            # Pack matrices are host-precomputed constants (building them
+            # per grid step with iota+exp2 cost ~100us of transcendentals).
+            pow_lo = pow_lo_ref[...]
+            pow_hi = pow_hi_ref[...]
+            adj_b = adj.astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            lo = jax.lax.dot_general(
+                pow_lo, adj_b, dims, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+            hi = jax.lax.dot_general(
+                pow_hi, adj_b, dims, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+            out_ref[0, 0] = lo | (hi << 16)
+
+        # pl.when (predicated regions, not lax.cond: Mosaic can't yield a
+        # [TILE_M, TILE_N] vector out of a cond): interior tiles skip the
+        # per-element id masks, whose VPU passes cost as much as the dot.
+        @pl.when(interior)
+        def _interior():
+            pack_and_store(dot >= dot_thresh)
+
+        @pl.when(jnp.logical_not(interior))
+        def _boundary():
+            # narrow index vectors broadcast against the tile (full [M, N]
+            # int32 index matrices would blow the VMEM budget)
+            row_ids = r0 + jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_M, 1), 0
             )
-        ).astype(jnp.int32)
-        hi = jnp.round(
-            jax.lax.dot_general(
-                pow_hi, adj_f, dims,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            col_ids = c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_N), 1
             )
-        ).astype(jnp.int32)
-        out_ref[0, 0] = lo | (hi << 16)
+            bounds = bounds_ref[...]  # [TILE_M, 1]
+            col_limit = jnp.minimum(bounds, n)  # [TILE_M, 1]
+            pack_and_store(
+                (dot >= dot_thresh)
+                & (col_ids > row_ids)
+                & (col_ids < col_limit)
+                & (row_ids < n)
+            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -167,6 +193,15 @@ def _build_chunk(interpret: bool):
 
     pow_lo_np, pow_hi_np = _pack_matrices()
 
+    # raise the scoped-VMEM cap (default 16 MB) so larger tile geometries
+    # compile; v5e has 128 MB of VMEM
+    vmem_mb = int(os.environ.get("VDF_VMEM_LIMIT_MB", "96"))
+    compiler_params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
+    )
+
     def one_launch(scalars, pm1, bounds):
         packed = pl.pallas_call(
             kernel,
@@ -174,10 +209,12 @@ def _build_chunk(interpret: bool):
             out_shape=jax.ShapeDtypeStruct(
                 (R_TILES, BAND_TILES, TILE_M // 32, TILE_N), jnp.int32
             ),
+            compiler_params=compiler_params,
             interpret=interpret,
         )(
             scalars, pm1, pm1, bounds,
-            jnp.asarray(pow_lo_np), jnp.asarray(pow_hi_np),
+            jnp.asarray(pow_lo_np, dtype=jnp.bfloat16),
+            jnp.asarray(pow_hi_np, dtype=jnp.bfloat16),
         )
         # per-tile match counts via XLA popcount over the packed bits
         # (an in-kernel SMEM counts output serialized the grid pipeline)
@@ -192,7 +229,12 @@ def _build_chunk(interpret: bool):
 # Launches per device sweep call: lax.scan drives SWEEP_CALLS kernel
 # launches inside ONE jit, because per-launch Python dispatch (~0.5 ms on
 # this single-core host) dominated the 0.14 ms device cost of a launch.
-SWEEP_CALLS = 1024
+SWEEP_CALLS = int(os.environ.get("VDF_SWEEP_CALLS", "1024"))
+
+# Smaller precompiled batch sizes: padding a short launch list up to
+# SWEEP_CALLS runs the padded launches' full DMA+MXU work for nothing,
+# so the driver picks the smallest batch size that fits the remainder.
+SWEEP_SIZES = (SWEEP_CALLS, 256, 64, 16)
 
 # v4 driver granularities: launches are count-reduced on device in GROUPs,
 # GROUPS_PER_FETCH groups share one d2h counts fetch, and matching tiles
@@ -250,6 +292,7 @@ def banded_adjacency_pallas_v4(
     import jax
     import jax.numpy as jnp
 
+    assert R_TILES == 1, "the v4 driver assumes single-row-tile launches"
     if interpret is None:
         interpret = not _is_tpu()
     n = packed.shape[0]
@@ -260,7 +303,7 @@ def banded_adjacency_pallas_v4(
         state = PallasSearchState(packed, bounds)
 
     fn = _build_chunk(interpret)
-    scal0 = jnp.zeros((3 + R_TILES,), jnp.int32)
+    scal0 = jnp.zeros((3 + 2 * R_TILES,), jnp.int32)
     compiled = fn.lower(scal0, state.pm1, state.bounds_dev).compile()
     group_stack, super_stack, extract_tiles = _v4_jits()
 
@@ -322,9 +365,11 @@ def banded_adjacency_pallas_v4(
         packed_refs: list = []
         group_handles: list = []
         counts_buf: list = []
-        scal = np.zeros(3 + R_TILES, dtype=np.int32)
+        scal = np.zeros(3 + 2 * R_TILES, dtype=np.int32)
         for rt, ct0 in wlaunches:
-            scal[:] = (tolerance_int, n, rt, ct0)
+            scal[:] = (
+                tolerance_int, n, rt, ct0, int(state.min_bound[rt]),
+            )
             p, c = compiled(jnp.asarray(scal), state.pm1, state.bounds_dev)
             if interpret:
                 # emulated DMA is not safe across in-flight launches
@@ -381,7 +426,7 @@ def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
 
     @jax.jit
     def sweep(scalars_all, pm1, bounds):
-        """scalars_all: int32[sweep_calls, 3 + R_TILES] -> stacked outputs."""
+        """scalars_all: int32[sweep_calls, 3 + 2*R_TILES] -> stacked outputs."""
 
         def body(_, scal):
             packed, counts = chunk_fn(scal, pm1, bounds)
@@ -410,8 +455,8 @@ def _pack_matrices() -> tuple[np.ndarray, np.ndarray]:
     return lo.astype(np.float32), hi.astype(np.float32)
 
 
-def unpack_pm1_device(packed):
-    """uint32[K, 32] -> bf16[K, 1024] over {-1, 0, +1} (jitted once)."""
+@functools.cache
+def _unpack_jit():
     import jax
     import jax.numpy as jnp
 
@@ -423,7 +468,14 @@ def unpack_pm1_device(packed):
         pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
         return pm.astype(jnp.bfloat16)
 
-    return f(packed)
+    return f
+
+
+def unpack_pm1_device(packed):
+    """uint32[K, 32] -> bf16[K, 1024] over {-1, 0, +1} (jitted ONCE —
+    rebuilding the jit per call retraced and re-deserialized the
+    persistent-cache entry every time, ~2 s at the 1M shape)."""
+    return _unpack_jit()(packed)
 
 
 def _tile_bits_to_pairs(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -444,28 +496,46 @@ class PallasSearchState:
     unpack to +/-1 bf16) from the per-search sweep: in the full pipeline the
     hash matrix is born on device, and repeated searches (e.g. tolerance
     sweeps) shouldn't re-upload 128 B/hash each time.
+
+    ``pm1_dev`` (uint32[n_pad, 32] already on device, duration-sorted) can
+    replace the host ``packed`` — the incremental-library path, where only
+    new rows ride h2d and the sort is a device gather.
     """
 
-    def __init__(self, packed: np.ndarray, bounds: np.ndarray) -> None:
+    def __init__(
+        self,
+        packed: np.ndarray | None,
+        bounds: np.ndarray,
+        n: int | None = None,
+        packed_dev=None,
+    ) -> None:
         import jax.numpy as jnp
 
-        n = packed.shape[0]
+        if n is None:
+            assert packed is not None
+            n = packed.shape[0]
         bounds = np.asarray(bounds, dtype=np.int64)
         n_row_tiles = -(-n // TILE_M)
         n_row_chunks = -(-n_row_tiles // R_TILES)
         n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
-        packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
-        packed_pad[:n] = packed
-        self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
+        if packed_dev is not None:
+            assert packed_dev.shape[0] >= n_pad
+            self.pm1 = unpack_pm1_device(packed_dev[:n_pad])
+        else:
+            packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
+            packed_pad[:n] = packed
+            self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
         self.pm1.block_until_ready()
 
         bounds_dev_np = np.full((n_pad, 1), -1, dtype=np.int32)
         bounds_dev_np[:n, 0] = np.minimum(bounds, n)
         self.bounds_dev = jnp.asarray(bounds_dev_np)
 
-        # per row tile: first col tile of the band + number of col tiles
+        # per row tile: first col tile of the band, number of col tiles,
+        # and the min band bound (the kernel's interior-tile fast path)
         first_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
         n_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
+        min_bound = np.zeros(n_row_chunks * R_TILES, dtype=np.int64)
         for rt in range(n_row_chunks * R_TILES):
             r0 = rt * TILE_M
             r1 = min(r0 + TILE_M, n)
@@ -477,16 +547,105 @@ class PallasSearchState:
             ct0 = (r0 + 1) // TILE_N
             first_ct[rt] = ct0
             n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
+            min_bound[rt] = min(int(bounds[r0:r1].min()), n)
         self.n = n
         self.n_pad = n_pad
         self.n_row_chunks = n_row_chunks
         self.first_ct = first_ct
         self.n_ct = n_ct
+        self.min_bound = min_bound
         self.max_ct = (n_pad - TILE_N) // TILE_N
 
 
+@functools.cache
+def _incremental_jits():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update_rows(buf, rows, at):
+        # donated: appends write in place, no 128 B/hash re-copy
+        return jax.lax.dynamic_update_slice(buf, rows, (at, 0))
+
+    @jax.jit
+    def gather_rows(buf, idx):
+        return jnp.take(buf, idx, axis=0, mode="clip")
+
+    return update_rows, gather_rows
+
+
+class IncrementalDeviceLibrary:
+    """Append-only device-resident packed-hash store.
+
+    Rows live on device in INSERTION order; ``append`` uploads only the
+    new rows (128 B/hash h2d, into a donated buffer).  ``state`` then
+    materializes a duration-sorted ``PallasSearchState`` via a device
+    gather — the cache-update-then-search flow no longer re-uploads the
+    whole matrix per update (round-1 ROADMAP item).  Rows gathered past
+    ``n`` (tile padding) may be garbage: every kernel masks pad rows and
+    columns by id/bounds, so their distances never become pairs.
+    """
+
+    def __init__(self, capacity: int = 4096) -> None:
+        import jax.numpy as jnp
+
+        self._cap = max(1024, int(capacity))
+        self._packed = jnp.zeros((self._cap, 32), jnp.uint32)
+        self.n = 0
+
+    def _grow(self, need: int) -> None:
+        import jax.numpy as jnp
+
+        new_cap = self._cap
+        while new_cap < need:
+            new_cap *= 2
+        buf = jnp.zeros((new_cap, 32), jnp.uint32)
+        update_rows, _ = _incremental_jits()
+        self._packed = update_rows(
+            buf, self._packed[: self.n], jnp.int32(0)
+        )
+        self._cap = new_cap
+
+    def append(self, packed_rows: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        packed_rows = np.ascontiguousarray(packed_rows, dtype=np.uint32)
+        k = packed_rows.shape[0]
+        if k == 0:
+            return
+        if self.n + k > self._cap:
+            self._grow(self.n + k)
+        update_rows, _ = _incremental_jits()
+        self._packed = update_rows(
+            self._packed, jnp.asarray(packed_rows), jnp.int32(self.n)
+        )
+        self.n += k
+
+    def state(self, order: np.ndarray, bounds: np.ndarray) -> PallasSearchState:
+        """Duration-sorted search state for the current library.
+
+        ``order``: permutation (insertion index per sorted position, the
+        host's (duration, path) sort); ``bounds``: per sorted row, the
+        exclusive upper bound of its duration window.
+        """
+        import jax.numpy as jnp
+
+        n = int(len(order))
+        assert n <= self.n
+        n_row_tiles = -(-n // TILE_M)
+        n_row_chunks = -(-n_row_tiles // R_TILES)
+        n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+        idx = np.zeros(n_pad, np.int32)
+        idx[:n] = np.asarray(order, dtype=np.int32)
+        _, gather_rows = _incremental_jits()
+        packed_sorted = gather_rows(self._packed, jnp.asarray(idx))
+        return PallasSearchState(
+            None, bounds, n=n, packed_dev=packed_sorted
+        )
+
+
 def banded_adjacency_pallas(
-    packed: np.ndarray,
+    packed: np.ndarray | None,
     bounds: np.ndarray,
     tolerance_int: int,
     interpret: bool | None = None,
@@ -496,14 +655,15 @@ def banded_adjacency_pallas(
 
     Same contract as ``hamming.banded_adjacency``: all pairs (i, j) with
     i < j < bounds[i] and hamming <= tolerance_int, lexicographic order.
-    Pass a prebuilt ``state`` to skip the upload/unpack setup.
+    Pass a prebuilt ``state`` to skip the upload/unpack setup (``packed``
+    may then be None — the incremental-library path).
     """
     import jax.numpy as jnp
 
     if interpret is None:
         interpret = not _is_tpu()
 
-    n = packed.shape[0]
+    n = packed.shape[0] if state is None else state.n
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     bounds = np.asarray(bounds, dtype=np.int64)
@@ -519,11 +679,13 @@ def banded_adjacency_pallas(
 
     # small scan batches in interpret mode (tests): padded launches are
     # pure waste there, and the jit wrapper is re-traced anyway
-    sweep_calls = 8 if interpret else SWEEP_CALLS
-    sweep_fn = _build_sweep(interpret, sweep_calls)
+    sweep_sizes = (8,) if interpret else tuple(
+        sorted(set(SWEEP_SIZES), reverse=True)
+    )
 
-    # Phase 1: enumerate every launch descriptor (row tile, first col tile).
-    launches: list[tuple[int, int]] = []
+    # Phase 1: enumerate every launch descriptor
+    # (first row tile, per-row-tile first col tile).
+    launches: list[tuple[int, tuple[int, ...]]] = []
     for chunk_idx in range(n_row_chunks):
         rt0 = chunk_idx * R_TILES
         rts = np.arange(rt0, rt0 + R_TILES)
@@ -533,7 +695,7 @@ def banded_adjacency_pallas(
             # rows whose band is exhausted keep pointing past their band end
             # (clamped in-bounds): the col_ids < bounds mask empties them.
             cur = np.minimum(starts, max_ct - BAND_TILES).astype(np.int64)
-            launches.append((rt0, int(cur[0])))
+            launches.append((rt0, tuple(int(c) for c in cur)))
             starts = starts + BAND_TILES
             remaining = remaining - BAND_TILES
 
@@ -544,22 +706,11 @@ def banded_adjacency_pallas(
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     hit_tiles: list[tuple[object, int, int]] = []
-    for b0 in range(0, len(launches), sweep_calls):
-        batch = launches[b0 : b0 + sweep_calls]
-        scalars_all = np.zeros((sweep_calls, 3 + R_TILES), dtype=np.int32)
-        # padding rows keep tol=-1: dot >= 1002 is impossible, no matches
-        scalars_all[:, 0] = -1
-        for k, (rt0, ct0) in enumerate(batch):
-            scalars_all[k, 0] = tolerance_int
-            scalars_all[k, 1] = n
-            scalars_all[k, 2] = rt0
-            scalars_all[k, 3] = ct0
-        packed_all, counts_all = sweep_fn(
-            jnp.asarray(scalars_all), pm1, bounds_dev
-        )
-        counts_np = np.asarray(counts_all)  # [SWEEP_CALLS, R_TILES, BAND]
+
+    def process(batch, packed_all, counts_all) -> None:
+        counts_np = np.asarray(counts_all)  # [sweep_calls, R_TILES, BAND]
         for k, i, j in zip(*np.nonzero(counts_np > 0)):
-            rt0, ct0 = batch[int(k)]
+            rt0, cts = batch[int(k)]
             # slice the hit tile out (device op; frees the batch buffer)
             # and defer the transfer: per-tile d2h latency (~30 ms) was a
             # fixed ~6 s cost whenever matches existed.
@@ -567,9 +718,53 @@ def banded_adjacency_pallas(
                 (
                     packed_all[int(k), int(i), int(j)],
                     (rt0 + int(i)) * TILE_M,
-                    (ct0 + int(j)) * TILE_N,
+                    (cts[int(i)] + int(j)) * TILE_N,
                 )
             )
+
+    # Keep a few sweep batches in flight before fetching counts: the
+    # synchronous per-batch fetch cost one d2h round-trip (~30-150 ms
+    # through the tunnel) of device idle per batch — ~1 s of the 1M sweep.
+    # Each in-flight batch holds its packed output (~1 GB at the default
+    # geometry) in HBM, so the window is small and tunable.
+    max_inflight = int(os.environ.get("VDF_SWEEP_INFLIGHT", "3"))
+    inflight: list[tuple[list, object, object]] = []
+    b0 = 0
+    while b0 < len(launches):
+        rem = len(launches) - b0
+        # smallest precompiled batch that fits the remainder: padded
+        # launches run their full DMA+MXU work for nothing
+        sweep_calls = next(
+            (s for s in sweep_sizes if s <= rem), sweep_sizes[-1]
+        )
+        sweep_fn = _build_sweep(interpret, sweep_calls)
+        batch = launches[b0 : b0 + sweep_calls]
+        b0 += len(batch)
+        scalars_all = np.zeros(
+            (sweep_calls, 3 + 2 * R_TILES), dtype=np.int32
+        )
+        # padding rows keep tol=-1: dot >= 1002 is impossible, no matches
+        scalars_all[:, 0] = -1
+        for k, (rt0, cts) in enumerate(batch):
+            scalars_all[k, 0] = tolerance_int
+            scalars_all[k, 1] = n
+            scalars_all[k, 2] = rt0
+            scalars_all[k, 3 : 3 + R_TILES] = cts
+            scalars_all[k, 3 + R_TILES :] = state.min_bound[
+                rt0 : rt0 + R_TILES
+            ]
+        packed_all, counts_all = sweep_fn(
+            jnp.asarray(scalars_all), pm1, bounds_dev
+        )
+        if interpret:
+            # emulated buffers: process eagerly, no windowing
+            process(batch, packed_all, counts_all)
+        else:
+            inflight.append((batch, packed_all, counts_all))
+            if len(inflight) > max_inflight:
+                process(*inflight.pop(0))
+    while inflight:
+        process(*inflight.pop(0))
 
     # Phase 3: batched index-only extraction of all hit tiles (device
     # stacks + one sized nonzero + one small index fetch per round).
