@@ -374,7 +374,13 @@ def do_app_outputs(
         search_output.save_debug_imgs(thumbs.thumbs_dir)
 
     if cfg.output_cfg.gui.enabled:
-        log.warning(
-            "the Slint GUI is not part of this build; use the headless "
-            "resolver (vid_dup_finder_lib_tpu.app.resolution_thunk) instead"
+        # the reference's optional Slint GUI, re-imagined as a TTY
+        # carousel over the same resolution engine
+        from .resolver_tui import run_resolver
+
+        search_output.sort(cfg.output_cfg.gui.sorting, cache)
+        run_resolver(
+            list(search_output.dup_groups()),
+            cache=cache,
+            trash_dir=cfg.output_cfg.gui.trash_path,
         )
