@@ -161,6 +161,38 @@ def test_search_tolerance_scaling_consistency():
     assert len(search(hs, 349.9 / TOLERANCE_SCALING_FACTOR)) == 0
 
 
+def test_incremental_library_matches_from_scratch_interpret():
+    """Appending hashes to the device-resident library and searching gives
+    the same pairs as a from-scratch PallasSearchState (ROADMAP:
+    incremental search state; sort happens as a device gather)."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        IncrementalDeviceLibrary,
+        banded_adjacency_pallas,
+    )
+
+    rng = np.random.default_rng(12)
+    n1, n2 = 400, 300
+    packed_all = rng.integers(0, 2**32, (n1 + n2, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    durs_all = rng.integers(50, 200, n1 + n2)
+
+    lib = IncrementalDeviceLibrary(capacity=256)  # forces a grow
+    lib.append(packed_all[:n1])
+    lib.append(packed_all[n1:])
+
+    order = np.argsort(durs_all, kind="stable")
+    durs_sorted = durs_all[order]
+    bounds = np.searchsorted(
+        durs_sorted, (durs_sorted * 1.1).astype(np.int64), side="right"
+    )
+    state = lib.state(order, bounds)
+    pi, pj = banded_adjacency_pallas(None, bounds, 480, state=state)
+    hi, hj = banded_adjacency_host(packed_all[order], bounds, 480)
+    assert np.array_equal(hi, pi) and np.array_equal(hj, pj)
+
+
 def test_band_kernel_matches_host_interpret():
     from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
     from vid_dup_finder_lib_tpu.ops.hamming_band import (

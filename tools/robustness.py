@@ -57,29 +57,57 @@ def _variants(src: str, out_dir: str):
         vw.release()
         return out
 
-    rng = np.random.default_rng(0)
-    wm = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-
-    for pct in (10, 25, 50, 75, 95):
-        keep = 1.0 - pct / 100.0
+    # crop labels are KEEP fractions, like the reference's
+    # create_crop.sh ("crop=iw*$CROP:..." for CROP in 0.1..0.95)
+    for keep_pct in (95, 75, 50, 25, 10):
+        keep = keep_pct / 100.0
         cw = max(16, int(w * keep))
         ch = max(16, int(h * keep))
-        yield f"crop-horiz-{pct}", write(
-            f"crop-horiz-{pct}", lambda f, cw=cw: f[:, :cw]
+        yield f"crop-horiz-{keep_pct}", write(
+            f"crop-horiz-{keep_pct}", lambda f, cw=cw: f[:, :cw]
         )
-        yield f"crop-vert-{pct}", write(
-            f"crop-vert-{pct}", lambda f, ch=ch: f[:ch, :]
+        yield f"crop-vert-{keep_pct}", write(
+            f"crop-vert-{keep_pct}", lambda f, ch=ch: f[:ch, :]
         )
         x0, y0 = (w - cw) // 2, (h - ch) // 2
-        yield f"crop-center-{pct}", write(
-            f"crop-center-{pct}",
+        yield f"crop-center-{keep_pct}", write(
+            f"crop-center-{keep_pct}",
             lambda f, x0=x0, y0=y0, cw=cw, ch=ch: f[y0 : y0 + ch, x0 : x0 + cw],
         )
+
+    # added letterbox bars (the transformation cropdetect exists to undo:
+    # a letterboxed copy should hash like the original when detection is
+    # on, and diverge when it's off)
+    for bar_pct in (10, 25, 40):
+        by = int(h * bar_pct / 100 / 2)
+        bx = int(w * bar_pct / 100 / 2)
+
+        def pad(f, by=by, bx=bx):
+            out = np.zeros_like(f)
+            inner = cv2.resize(
+                f, (w - 2 * bx, h - 2 * by), interpolation=cv2.INTER_AREA
+            )
+            out[by : h - by, bx : w - bx] = inner
+            return out
+
+        yield f"letterbox-{bar_pct}", write(f"letterbox-{bar_pct}", pad)
+
+    # watermark = red text drawn bottom-left at the given opacity, like
+    # create_watermark.sh's drawtext=text='watermark':x=10:y=H-th-10:
+    # fontsize=30:fontcolor=red@$OPACITY
+    def draw_wm(f, a):
+        out = f.copy()
+        overlay = f.copy()
+        cv2.putText(
+            overlay, "watermark", (10, h - 10),
+            cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 0, 255), 2,
+        )
+        return cv2.addWeighted(overlay, a, out, 1 - a, 0)
+
     for opacity in (10, 30, 50, 70, 90):
         a = opacity / 100.0
         yield f"watermark-{opacity}", write(
-            f"watermark-{opacity}",
-            lambda f, a=a: (f * (1 - a) + wm * a).astype(np.uint8),
+            f"watermark-{opacity}", lambda f, a=a: draw_wm(f, a)
         )
 
 
@@ -95,7 +123,7 @@ def main() -> None:
 
     results = {}
     with tempfile.TemporaryDirectory() as tmp:
-        for mode in (Cropdetect.NONE, Cropdetect.MOTION):
+        for mode in (Cropdetect.NONE, Cropdetect.LETTERBOX, Cropdetect.MOTION):
             builder = VideoHashBuilder.from_options(
                 CreationOptions(cropdetect=mode)
             )
