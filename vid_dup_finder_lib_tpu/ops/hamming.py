@@ -263,6 +263,13 @@ def banded_adjacency(
         from .hamming_pallas import banded_adjacency_pallas
 
         return banded_adjacency_pallas(packed, bounds, tolerance_int)
+    if backend == "pallas_streamed":
+        from .hamming_pallas import PallasSearchState, banded_adjacency_pallas
+
+        st = PallasSearchState(packed, bounds, defer_upload=True)
+        return banded_adjacency_pallas(
+            packed, bounds, tolerance_int, state=st
+        )
     if backend == "band":
         from .hamming_band import banded_adjacency_band
 

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..definitions import HASH_BITS_PADDED
 from .hamming_pallas import (
+    PM_DTYPE,
     PallasSearchState,
     TILE_M,
     TILE_N,
@@ -195,7 +196,10 @@ def _build_band(interpret: bool):
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, HASH_BITS_PADDED), jnp.bfloat16),
+            pltpu.VMEM(
+                (2, TILE_N, HASH_BITS_PADDED),
+                jnp.int8 if PM_DTYPE == "int8" else jnp.bfloat16,
+            ),
             pltpu.VMEM((2, TILE_M // 32, TILE_N), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

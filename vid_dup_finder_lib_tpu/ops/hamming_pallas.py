@@ -4,9 +4,10 @@ One fused kernel launch covers a CHUNK of R_TILES row tiles x BAND_TILES
 column tiles, with each row tile's column window positioned independently
 via scalar prefetch (each row's duration band starts at a different column):
 
-    bf16 +/-1 operands -> MXU matmul (exact f32 accum) -> distance
-    -> tolerance + duration-window mask -> on-chip bitpack (two
-    MXU matmuls against constant 16-bit-group pack matrices, exact in f32)
+    int8 +/-1 operands (VDF_PM_DTYPE; exact int32 accum — bf16/f32
+    selectable) -> MXU matmul -> distance -> tolerance + duration-window
+    mask (skipped on interior tiles) -> on-chip bitpack (two exact bf16
+    MXU matmuls against constant 16-bit-group pack matrices)
     -> int32 adjacency words (1 bit per pair) + per-tile match count
 
 Why Pallas instead of the XLA path in ``hamming.py``: the XLA kernel
@@ -42,6 +43,11 @@ from ..definitions import HASH_BITS_PADDED
 # scales with grid size (~7.5 s/step, one-time + persistently cached);
 # per-LAUNCH dispatch overhead (~0.45 ms via lax.scan) is what a bigger
 # grid amortizes away.
+# +/-1 operand dtype: int8 halves the column-tile DMA and pm1 footprint
+# vs bf16, and v5e's int8 MXU path is 2x the bf16 rate; both are exact
+# (int32 / f32 accumulation over +/-1 operands).
+PM_DTYPE = os.environ.get("VDF_PM_DTYPE", "int8")
+
 TILE_M = int(os.environ.get("VDF_TILE_M", "512"))
 TILE_N = int(os.environ.get("VDF_TILE_N", "1024"))
 R_TILES = int(os.environ.get("VDF_R_TILES", "1"))
@@ -89,18 +95,19 @@ def _build_chunk(interpret: bool):
         # VPU passes cost as much as the MXU dot itself.
         min_bound = scal_ref[3 + R_TILES + i]
 
-        a = rows_ref[...]  # [TILE_M, 1024] bf16 in {-1, 0, +1}
-        b = cols_ref[...]  # [TILE_N, 1024] bf16
-        # bf16 x bf16 -> f32 rides the MXU natively; +/-1 operands with
-        # <= 1000 terms keep every sum exact in f32.
+        a = rows_ref[...]  # [TILE_M, 1024] +/-1 (PM_DTYPE)
+        b = cols_ref[...]  # [TILE_N, 1024]
+        # +/-1 operands with <= 1024 terms: int8 -> int32 and
+        # bf16 -> f32 accumulation are both exact on the MXU.
+        acc = jnp.int32 if PM_DTYPE == "int8" else jnp.float32
         dot = jax.lax.dot_general(
             a, b,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
-        # dist <= tol  <=>  dot >= 1024 - 2*tol, compared in f32 (all 1024
-        # storage bits count, like the reference's 16-word popcount)
-        dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(jnp.float32)
+        # dist <= tol  <=>  dot >= 1024 - 2*tol (all 1024 storage bits
+        # count, like the reference's 16-word popcount)
+        dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(acc)
 
         interior = (
             (c0 >= r0 + TILE_M)
@@ -466,13 +473,13 @@ def _unpack_jit():
         shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
         bits = (p[:, :, None] >> shifts) & jnp.uint32(1)
         pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
-        return pm.astype(jnp.bfloat16)
+        return pm if PM_DTYPE == "int8" else pm.astype(jnp.bfloat16)
 
     return f
 
 
 def unpack_pm1_device(packed):
-    """uint32[K, 32] -> bf16[K, 1024] over {-1, 0, +1} (jitted ONCE —
+    """uint32[K, 32] -> PM_DTYPE[K, 1024] over {-1, +1} (jitted ONCE —
     rebuilding the jit per call retraced and re-deserialized the
     persistent-cache entry every time, ~2 s at the 1M shape)."""
     return _unpack_jit()(packed)
@@ -508,6 +515,7 @@ class PallasSearchState:
         bounds: np.ndarray,
         n: int | None = None,
         packed_dev=None,
+        defer_upload: bool = False,
     ) -> None:
         import jax.numpy as jnp
 
@@ -518,14 +526,34 @@ class PallasSearchState:
         n_row_tiles = -(-n // TILE_M)
         n_row_chunks = -(-n_row_tiles // R_TILES)
         n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+        self.uploaded_rows: int | None = None
         if packed_dev is not None:
             assert packed_dev.shape[0] >= n_pad
             self.pm1 = unpack_pm1_device(packed_dev[:n_pad])
+        elif defer_upload:
+            # streamed build: the h2d is the cold-search wall (~26 MB/s
+            # sustained through this tunnel = ~5 s at 1M hashes), but the
+            # duration band is near-diagonal, so the sweep can start as
+            # soon as each row prefix is resident — ensure_rows() uploads
+            # chunk-by-chunk and the sweep driver interleaves.
+            stream_rows = int(
+                os.environ.get("VDF_STREAM_CHUNK_ROWS", "131072")
+            )
+            stream_rows = min(stream_rows, -(-n_pad // 256) * 256)
+            n_chunks = -(-n_pad // stream_rows)
+            total = n_chunks * stream_rows
+            self._host_pad = np.zeros((total, packed.shape[1]), np.uint32)
+            self._host_pad[:n] = packed
+            self._stream_rows = stream_rows
+            pm_dt = jnp.int8 if PM_DTYPE == "int8" else jnp.bfloat16
+            self.pm1 = jnp.zeros((total, HASH_BITS_PADDED), pm_dt)
+            self.uploaded_rows = 0
         else:
             packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
             packed_pad[:n] = packed
             self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
-        self.pm1.block_until_ready()
+        if not defer_upload:
+            self.pm1.block_until_ready()
 
         bounds_dev_np = np.full((n_pad, 1), -1, dtype=np.int32)
         bounds_dev_np[:n, 0] = np.minimum(bounds, n)
@@ -555,6 +583,50 @@ class PallasSearchState:
         self.n_ct = n_ct
         self.min_bound = min_bound
         self.max_ct = (n_pad - TILE_N) // TILE_N
+
+    def ensure_rows(self, rows_needed: int) -> None:
+        """Streamed build: upload chunks until ``rows_needed`` rows of the
+        +/-1 matrix are resident (no-op for eagerly built states).
+
+        Uploads run inline on the driver thread: a background uploader
+        thread measured WORSE on this 1-core host (GIL contention with
+        sweep dispatch).  Cold-search wall time is dominated by the dev
+        tunnel's h2d (load-dependent, ~26 MB/s sustained: 9-14 s for a
+        132 MB library); production PCIe moves this back to sweep-bound."""
+        if self.uploaded_rows is None:
+            return
+        import jax.numpy as jnp
+
+        total = self._host_pad.shape[0]
+        rows_needed = min(rows_needed, total)
+        update = _stream_update_jit()
+        while self.uploaded_rows < rows_needed:
+            a = self.uploaded_rows
+            b = a + self._stream_rows
+            chunk = jnp.asarray(self._host_pad[a:b])
+            self.pm1 = update(self.pm1, chunk, jnp.int32(a))
+            self.uploaded_rows = b
+
+
+@functools.cache
+def _stream_update_jit():
+    import jax
+    import jax.numpy as jnp
+
+    # no donation: in-flight sweep batches still read the previous pm1
+    # buffer, and donating it would invalidate their handle — the
+    # full-buffer copy costs ~2.5 ms per chunk at HBM bandwidth
+    @jax.jit
+    def f(pm1, chunk_packed, at):
+        k = chunk_packed.shape[0]
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        bits = (chunk_packed[:, :, None] >> shifts) & jnp.uint32(1)
+        pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
+        if PM_DTYPE != "int8":
+            pm = pm.astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(pm1, pm, (at, 0))
+
+    return f
 
 
 @functools.cache
@@ -740,6 +812,19 @@ def banded_adjacency_pallas(
         sweep_fn = _build_sweep(interpret, sweep_calls)
         batch = launches[b0 : b0 + sweep_calls]
         b0 += len(batch)
+        if state.uploaded_rows is not None:
+            # streamed build: make this batch's rows AND column window
+            # resident before dispatching; later rows keep uploading
+            # while these launches run (h2d/compute overlap)
+            need = 0
+            for rt0, cts in batch:
+                need = max(
+                    need,
+                    (rt0 + R_TILES) * TILE_M,
+                    (max(cts) + BAND_TILES) * TILE_N,
+                )
+            state.ensure_rows(need)
+            pm1 = state.pm1
         scalars_all = np.zeros(
             (sweep_calls, 3 + 2 * R_TILES), dtype=np.int32
         )
