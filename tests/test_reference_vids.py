@@ -64,6 +64,54 @@ def test_reference_vids_distances(ref_hashes):
             assert hs[a].normalized_hamming_distance(hs[b]) > 0.40
 
 
+def test_resize_lsb_sensitivity_on_real_content(ref_hashes):
+    """PARITY deviation 1 evidence: our Lanczos3 reconstruction may
+    differ from fast_image_resize's u8 fixed-point path by <= 1-2 gray
+    levels at rounding boundaries.  Model that as random +/-1
+    perturbations of the resized 16x16x16 cubes of the reference's own
+    videos (rounding-boundary pixels are spatially pseudo-random) and
+    check the group decision margins survive: perturbed hashes stay far
+    under tolerance to their original, far over to the other group."""
+    import numpy as np
+
+    from vid_dup_finder_lib_tpu.models.builder import (
+        CreationOptions,
+        prepare_frames,
+    )
+    from vid_dup_finder_lib_tpu.ops.golden import hash_bits_golden
+    from vid_dup_finder_lib_tpu.video_hash import VideoHash, pack_bits
+
+    rng = np.random.default_rng(17)
+    originals = {}
+    perturbed = {}
+    for v in _DECODABLE:
+        cube, dur = prepare_frames(
+            os.path.join(_REF_VIDS, v), CreationOptions()
+        )
+        originals[v] = VideoHash(
+            pack_bits(hash_bits_golden(cube)), v, dur
+        )
+        variants = []
+        for _ in range(5):
+            delta = rng.integers(-1, 2, cube.shape).astype(np.int16)
+            pcube = np.clip(
+                cube.astype(np.int16) + delta, 0, 255
+            ).astype(np.uint8)
+            variants.append(
+                VideoHash(pack_bits(hash_bits_golden(pcube)), v, dur)
+            )
+        perturbed[v] = variants
+
+    for v in _DECODABLE:
+        for p in perturbed[v]:
+            # +/-1 on every pixel flips only near-zero DCT signs
+            assert originals[v].normalized_hamming_distance(p) < 0.15
+    for a in ("cat.1.mp4", "cat.3.webm"):
+        for b in ("dog.1.mp4", "dog.3.webm"):
+            for p in perturbed[a]:
+                assert p.normalized_hamming_distance(originals[b]) > 0.35
+
+
 def test_reference_vids_hashes_frozen(ref_hashes):
     """Bit-exact against the frozen oracle: any drift in decode, frame
     selection, crop, resize, or DCT shows up here."""

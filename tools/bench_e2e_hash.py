@@ -45,7 +45,17 @@ def main() -> None:
         results = hash_videos(paths)
         dt = time.time() - t
 
+        # device-preproc variant: host decodes only; letterbox + resize +
+        # hash all run on device (reference hot loop #3, video_hash.rs:59)
+        hash_videos(paths[:2], device_preproc=True)  # warm
+        t = time.time()
+        results_dev = hash_videos(paths, device_preproc=True)
+        dt_dev = time.time() - t
+
     ok = sum(1 for v in results.values() if not isinstance(v, Exception))
+    ok_dev = sum(
+        1 for v in results_dev.values() if not isinstance(v, Exception)
+    )
     print(
         json.dumps(
             {
@@ -55,6 +65,8 @@ def main() -> None:
                 "n": n,
                 "ok": ok,
                 "secs": round(dt, 2),
+                "device_preproc_rate": round(n / dt_dev, 2),
+                "device_preproc_ok": ok_dev,
             }
         )
     )
