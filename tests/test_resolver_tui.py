@@ -128,3 +128,104 @@ def test_ansi_thumb_renders_fixture_video():
     lines = _ansi_thumb(vids[0])
     assert len(lines) == 12
     assert "\x1b[38;5;" in lines[0] and lines[0].endswith("\x1b[0m")
+
+
+def test_thumb_lru_cache_eviction_and_mtime(tmp_path):
+    from vid_dup_finder_lib_tpu.app.resolver_tui import ThumbLruCache
+
+    c = ThumbLruCache(capacity=2)
+    files = _mkfiles(tmp_path, ["a.mp4", "b.mp4", "c.mp4"])
+    c.put(files[0], ["A"])
+    c.put(files[1], ["B"])
+    assert c.get(files[0]) == ["A"]  # promoted
+    c.put(files[2], ["C"])  # evicts b (least recent)
+    assert c.get(files[1]) is None
+    assert c.get(files[0]) == ["A"] and c.get(files[2]) == ["C"]
+
+    # mtime invalidation: touching the file misses the stale entry
+    os.utime(files[0], (1, 1))
+    assert c.get(files[0]) is None
+
+
+def test_player_thread_kills_previous(tmp_path):
+    import subprocess
+    import sys
+    import time
+
+    from vid_dup_finder_lib_tpu.app.resolver_tui import PlayerThread
+
+    player = tmp_path / "fakeplayer"
+    player.write_text("#!/usr/bin/env python3\nimport time\ntime.sleep(60)\n")
+    player.chmod(0o755)
+
+    pt = PlayerThread(player_cmd=str(player))
+    msg1 = pt.open("/v/a.mp4")
+    assert "opened" in msg1
+    first = pt._proc
+    assert first.poll() is None
+    pt.open("/v/b.mp4")  # must kill the first (vlc_thread.rs:17-27)
+    deadline = time.monotonic() + 10
+    while first.poll() is None and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert first.poll() is not None
+    assert pt._proc.poll() is None
+    pt._proc.kill()
+    pt._proc.wait()
+
+
+def test_player_thread_missing_binary():
+    from vid_dup_finder_lib_tpu.app.resolver_tui import PlayerThread
+
+    msg = PlayerThread(player_cmd="/nonexistent/player-xyz").open("/v/a.mp4")
+    assert "error" in msg and "not found" in msg
+
+
+def test_tui_open_command_and_prerender(tmp_path):
+    """'o N' launches the player on the entry; showing group 1 with
+    thumbs on prerenders group 2's thumbnails into the LRU."""
+    import io
+    import time
+
+    from tests.fixtures import make_fixture_videos
+    from vid_dup_finder_lib_tpu.app.resolver_tui import (
+        PlayerThread,
+        ResolverTui,
+        ThumbLruCache,
+    )
+    from vid_dup_finder_lib_tpu.app.resolution_thunk import ResolutionThunk
+
+    vids_dir = os.path.join(os.path.dirname(__file__), "data")
+    vids = make_fixture_videos(vids_dir)
+
+    player = tmp_path / "fakeplayer"
+    player.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, pathlib\n"
+        f"pathlib.Path({str(tmp_path / 'opened.txt')!r}).write_text(sys.argv[1])\n"
+    )
+    player.chmod(0o755)
+
+    cache = ThumbLruCache()
+    tui = ResolverTui(
+        thunks=[
+            ResolutionThunk(entries=vids[:2]),
+            ResolutionThunk(entries=vids[2:4]),
+        ],
+        inp=io.StringIO("o1\nq\n"),
+        out=io.StringIO(),
+        thumbs=True,
+        thumb_cache=cache,
+        player=PlayerThread(player_cmd=str(player)),
+    )
+    tui.run()
+
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        if (tmp_path / "opened.txt").exists() and all(
+            cache.get(p) is not None for p in vids[2:4]
+        ):
+            break
+        time.sleep(0.1)
+    assert (tmp_path / "opened.txt").read_text() == vids[1]
+    # prerenderer populated the NEXT group's thumbs in the background
+    assert all(cache.get(p) is not None for p in vids[2:4])

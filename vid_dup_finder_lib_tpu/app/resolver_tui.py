@@ -26,7 +26,10 @@ Thumbnails render as 256-color half-block art straight in the terminal
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import IO
 
@@ -34,6 +37,114 @@ from .resolution_thunk import ResolutionThunk
 
 THUMB_COLS = 40  # terminal cells per thumbnail
 THUMB_ROWS = 12  # text rows (2 pixel rows per cell with half blocks)
+THUMB_CACHE_SIZE = 50  # entries, like the GUI's LruCache (lru_cache.rs:31)
+
+
+class ThumbLruCache:
+    """Rendered-thumbnail LRU, keyed by (path, mtime) so an edited file
+    re-renders (the GUI's 50-entry LruCache, lru_cache.rs:28-73)."""
+
+    def __init__(self, capacity: int = THUMB_CACHE_SIZE) -> None:
+        self._cap = capacity
+        self._d: OrderedDict[tuple[str, int], list[str]] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def _key(self, path: str) -> tuple[str, int]:
+        try:
+            mtime = int(os.stat(path).st_mtime)
+        except OSError:
+            mtime = -1
+        return (path, mtime)
+
+    def get(self, path: str) -> list[str] | None:
+        k = self._key(path)
+        with self._lock:
+            if k in self._d:
+                self._d.move_to_end(k)  # promote (lru_cache.rs:49-51)
+                return self._d[k]
+        return None
+
+    def put(self, path: str, lines: list[str]) -> None:
+        k = self._key(path)
+        with self._lock:
+            self._d[k] = lines
+            self._d.move_to_end(k)
+            while len(self._d) > self._cap:
+                self._d.popitem(last=False)
+
+    def get_or_render(self, path: str) -> list[str]:
+        cached = self.get(path)
+        if cached is not None:
+            return cached
+        lines = _ansi_thumb(path)
+        self.put(path, lines)
+        return lines
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._d)
+
+
+class Prerenderer:
+    """Background thumbnail prerender of the NEXT group while the user
+    looks at the current one (the GUI's prerender worker pool,
+    prerender.rs:24-129, sized down to one daemon thread per request)."""
+
+    def __init__(self, cache: ThumbLruCache) -> None:
+        self._cache = cache
+        self._inflight: set[str] = set()
+        self._lock = threading.Lock()
+
+    def request(self, paths: list[str]) -> None:
+        todo = []
+        with self._lock:
+            for p in paths:
+                if p not in self._inflight and self._cache.get(p) is None:
+                    self._inflight.add(p)
+                    todo.append(p)
+        if not todo:
+            return
+
+        def work() -> None:
+            for p in todo:
+                try:
+                    self._cache.get_or_render(p)
+                except Exception:
+                    pass
+                finally:
+                    with self._lock:
+                        self._inflight.discard(p)
+
+        threading.Thread(target=work, daemon=True).start()
+
+
+class PlayerThread:
+    """External-player launcher (the GUI's VLC thread,
+    vlc_thread.rs:10-51): each open request first kills the previously
+    launched player, then spawns the configured command on the path."""
+
+    def __init__(self, player_cmd: str | None = None) -> None:
+        self._player = player_cmd or os.environ.get("VDF_PLAYER", "vlc")
+        self._proc: subprocess.Popen | None = None
+        self._lock = threading.Lock()
+
+    def open(self, path: str) -> str:
+        with self._lock:
+            if self._proc is not None and self._proc.poll() is None:
+                self._proc.kill()  # vlc_thread.rs:17-27
+                self._proc.wait()
+            try:
+                self._proc = subprocess.Popen(
+                    [self._player, path],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+            except FileNotFoundError:
+                return (
+                    f"error: player {self._player!r} not found "
+                    "(set VDF_PLAYER)"
+                )
+        return f"opened {path} in {self._player}"
 
 
 def _ansi_thumb(path: str, cols: int = THUMB_COLS, rows: int = THUMB_ROWS) -> list[str]:
@@ -86,6 +197,11 @@ class ResolverTui:
     out: IO[str] = field(default_factory=lambda: sys.stdout)
     thumbs: bool = False
     cache: object | None = None
+    thumb_cache: ThumbLruCache = field(default_factory=ThumbLruCache)
+    player: PlayerThread = field(default_factory=PlayerThread)
+
+    def __post_init__(self) -> None:
+        self._prerender = Prerenderer(self.thumb_cache)
 
     def _println(self, s: str = "") -> None:
         self.out.write(s + "\n")
@@ -112,8 +228,18 @@ class ResolverTui:
                 f"  [{i}] {_file_details(p)}{dur}  {p}{trashed}"
             )
             if self.thumbs and os.path.exists(p):
-                for line in _ansi_thumb(p):
+                for line in self.thumb_cache.get_or_render(p):
                     self._println("        " + line)
+        if self.thumbs and gi + 1 < len(self.thunks):
+            # render the next group's thumbnails in the background while
+            # the user reads this one (prerender.rs behavior)
+            self._prerender.request(
+                [
+                    p
+                    for p in self.thunks[gi + 1].entries
+                    if os.path.exists(p)
+                ]
+            )
 
     def run(self) -> None:
         """Drive the carousel until all groups are visited or 'q'."""
@@ -125,7 +251,7 @@ class ResolverTui:
             self._show_group(gi)
             self._println(
                 "keep-expr (e.g. '0', '0 as 1', 'u0') | n=next p=prev "
-                "t=thumbs q=quit"
+                "t=thumbs o<N>=open q=quit"
             )
             self.out.write("> ")
             self.out.flush()
@@ -143,6 +269,14 @@ class ResolverTui:
                 continue
             if cmd in ("t", "thumbs"):
                 self.thumbs = not self.thumbs
+                continue
+            if cmd.startswith("o") and cmd[1:].strip().isdigit():
+                k = int(cmd[1:].strip())
+                entries = self.thunks[gi].entries
+                if 0 <= k < len(entries):
+                    self._println(self.player.open(entries[k]))
+                else:
+                    self._println(f"error: entry index {k} out of range")
                 continue
             try:
                 for action in self.thunks[gi].resolve(cmd):
