@@ -58,7 +58,10 @@ class FfmpegFrameReader:
         info = VideoInfo.new(self.src_path)
         w, h = info.resolution
         if w == 0 or h == 0:
-            raise VidProc("invalid resolution")
+            # ffmpeg_ops.rs:203-207 -> FfmpegError::InvalidResolution
+            from .ffmpeg_harness import InvalidResolution
+
+            raise InvalidResolution()
         frame_bytes = w * h * (1 if self.grayscale else 3)
 
         proc = subprocess.Popen(
