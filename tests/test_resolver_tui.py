@@ -229,3 +229,33 @@ def test_tui_open_command_and_prerender(tmp_path):
     assert (tmp_path / "opened.txt").read_text() == vids[1]
     # prerenderer populated the NEXT group's thumbs in the background
     assert all(cache.get(p) is not None for p in vids[2:4])
+
+
+def test_tui_stats_and_jump(tmp_path):
+    """'s' toggles the per-entry quality-stats line (recompression +
+    canny signals, lru_cache.rs:66-73 / canny_thresholds.rs); 'g N'
+    jumps; navigation wraps like the GUI carousel."""
+    import io
+
+    from tests.fixtures import make_fixture_videos
+    from vid_dup_finder_lib_tpu.app.resolution_thunk import ResolutionThunk
+    from vid_dup_finder_lib_tpu.app.resolver_tui import ResolverTui
+
+    vids_dir = os.path.join(os.path.dirname(__file__), "data")
+    vids = make_fixture_videos(vids_dir)
+    out = io.StringIO()
+    tui = ResolverTui(
+        thunks=[
+            ResolutionThunk(entries=vids[:2]),
+            ResolutionThunk(entries=vids[2:4]),
+        ],
+        inp=io.StringIO("s\ng2\np\np\nq\n"),  # stats on, jump, wrap back
+        out=out,
+        thumbs=False,
+    )
+    tui.run()
+    text = out.getvalue()
+    assert "stats: " in text and "png" in text and "canny" in text
+    assert "group 2/2" in text  # g2 jumped
+    # p from group 1 wraps to group 2 (Modulo carousel)
+    assert text.count("group 2/2") >= 2

@@ -188,6 +188,46 @@ def _file_details(path: str) -> str:
         return "  <gone>"
 
 
+# visual-quality signal thresholds (canny_thresholds.rs:1-2)
+CANNY_MIN = 5.0
+CANNY_MAX = 30.0
+
+
+def quality_stats(path: str) -> str:
+    """Per-video visual-quality signals, as the GUI computes per thumb
+    (lru_cache.rs:66-73, 443-495): the middle frame's compressed sizes
+    under PNG and JPEG plus the PNG size of its Canny edge map (5/30
+    thresholds) — recompression size discriminates sharp originals from
+    blurry re-encodes of the same content."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        if total > 2:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, total // 2)
+        ok, img = cap.read()
+        if not ok:
+            return "stats: <undecodable>"
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    finally:
+        cap.release()
+    ok_p, png = cv2.imencode(".png", img)
+    ok_j, jpg = cv2.imencode(".jpg", img)
+    gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    edges = cv2.Canny(gray, CANNY_MIN, CANNY_MAX)
+    ok_c, canny_png = cv2.imencode(".png", edges)
+    parts = [f"{w}x{h}"]
+    if ok_p:
+        parts.append(f"png {len(png) // 1024} KiB")
+    if ok_j:
+        parts.append(f"jpg {len(jpg) // 1024} KiB")
+    if ok_c:
+        parts.append(f"canny {len(canny_png) // 1024} KiB")
+    return "stats: " + "  ".join(parts)
+
+
 @dataclass
 class ResolverTui:
     """Carousel over a list of ``ResolutionThunk``s."""
@@ -196,6 +236,7 @@ class ResolverTui:
     inp: IO[str] = field(default_factory=lambda: sys.stdin)
     out: IO[str] = field(default_factory=lambda: sys.stdout)
     thumbs: bool = False
+    stats: bool = False
     cache: object | None = None
     thumb_cache: ThumbLruCache = field(default_factory=ThumbLruCache)
     player: PlayerThread = field(default_factory=PlayerThread)
@@ -227,6 +268,8 @@ class ResolverTui:
             self._println(
                 f"  [{i}] {_file_details(p)}{dur}  {p}{trashed}"
             )
+            if self.stats and os.path.exists(p):
+                self._println("        " + quality_stats(p))
             if self.thumbs and os.path.exists(p):
                 for line in self.thumb_cache.get_or_render(p):
                     self._println("        " + line)
@@ -242,16 +285,22 @@ class ResolverTui:
             )
 
     def run(self) -> None:
-        """Drive the carousel until all groups are visited or 'q'."""
+        """Drive the carousel until 'q' or scripted-input EOF.
+
+        Navigation wraps around like the GUI carousel (utils.modulo,
+        the reference's Modulo helper)."""
+        from ..utils.modulo import wrapping_add, wrapping_sub
+
         if not self.thunks:
             self._println("no duplicate groups to resolve")
             return
+        n_groups = len(self.thunks)
         gi = 0
-        while 0 <= gi < len(self.thunks):
+        while True:
             self._show_group(gi)
             self._println(
                 "keep-expr (e.g. '0', '0 as 1', 'u0') | n=next p=prev "
-                "t=thumbs o<N>=open q=quit"
+                "g<N>=jump t=thumbs s=stats o<N>=open q=quit"
             )
             self.out.write("> ")
             self.out.flush()
@@ -261,14 +310,24 @@ class ResolverTui:
             cmd = line.strip()
             if cmd in ("q", "quit"):
                 return
-            if cmd in ("", "n", "next", "s", "skip"):
-                gi += 1
+            if cmd in ("", "n", "next"):
+                gi = wrapping_add(gi, 1, n_groups)
                 continue
             if cmd in ("p", "prev"):
-                gi = max(0, gi - 1)
+                gi = wrapping_sub(gi, 1, n_groups)
+                continue
+            if cmd.startswith("g") and cmd[1:].strip().isdigit():
+                k = int(cmd[1:].strip())
+                if 1 <= k <= n_groups:
+                    gi = k - 1
+                else:
+                    self._println(f"error: group {k} out of range")
                 continue
             if cmd in ("t", "thumbs"):
                 self.thumbs = not self.thumbs
+                continue
+            if cmd in ("s", "stats"):
+                self.stats = not self.stats
                 continue
             if cmd.startswith("o") and cmd[1:].strip().isdigit():
                 k = int(cmd[1:].strip())
@@ -285,7 +344,6 @@ class ResolverTui:
                 # untrash or re-resolve, and advances with 'n'
             except (ValueError, OSError) as e:
                 self._println(f"error: {e}")
-        self._println("all groups visited")
 
 
 def run_resolver(
