@@ -161,6 +161,31 @@ def test_search_tolerance_scaling_consistency():
     assert len(search(hs, 349.9 / TOLERANCE_SCALING_FACTOR)) == 0
 
 
+def test_streamed_backend_matches_host_interpret():
+    """backend='pallas_streamed' (chunked-upload interleaved sweep) is
+    pair-identical to the host sweep."""
+    from vid_dup_finder_lib_tpu.ops.hamming import (
+        banded_adjacency,
+        banded_adjacency_host,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 700
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    durs = np.sort(rng.integers(50, 200, n))
+    bounds = np.searchsorted(
+        durs, (durs * 1.1).astype(np.int64), side="right"
+    )
+    for tol in (350, 480):
+        hi, hj = banded_adjacency_host(packed, bounds, tol)
+        si, sj = banded_adjacency(
+            packed, bounds, tol, backend="pallas_streamed"
+        )
+        assert np.array_equal(hi, si) and np.array_equal(hj, sj)
+
+
 def test_incremental_library_matches_from_scratch_interpret():
     """Appending hashes to the device-resident library and searching gives
     the same pairs as a from-scratch PallasSearchState (ROADMAP:

@@ -136,7 +136,9 @@ def test_find_with_refs():
     assert len(dups2[1]) == 140
 
 
-@pytest.mark.parametrize("backend", ["host", "device"])
+@pytest.mark.parametrize(
+    "backend", ["host", "device", "pallas", "pallas_streamed", "ring"]
+)
 def test_backends_agree_with_naive(backend):
     """The banded-matmul backends must reproduce the naive greedy exactly —
     same groups, same member order."""
