@@ -306,3 +306,43 @@ def test_auto_backend_threshold_parity():
     got = search(hashes, 0.3, backend="auto")
     assert got == expected
     assert len(expected) == 3
+
+
+def test_batched_refs_device_path_matches_loop(monkeypatch):
+    """The device windowed-matmul refs path (forced via a zero work
+    threshold) equals the per-ref loop exactly."""
+    import importlib
+
+    search_mod = importlib.import_module("vid_dup_finder_lib_tpu.search")
+    Search = search_mod.Search
+    monkeypatch.setattr(search_mod, "_DEVICE_REFS_WORK_THRESHOLD", 0)
+
+    rng = np.random.default_rng(21)
+    cands = _named([VideoHash.random_hash(rng) for _ in range(500)])
+    cands = [
+        h.with_duration(int(d))
+        for h, d in zip(cands, rng.integers(50, 500, len(cands)))
+    ]
+    refs = [
+        VideoHash.random_hash(rng)
+        .with_src_path(f"/r/{i:03}")
+        .with_duration(int(d))
+        for i, d in enumerate(rng.integers(50, 500, 200))
+    ]
+    refs[5] = cands[17].with_src_path("/r/005")
+    refs[90] = (
+        cands[300]
+        .hash_with_spatial_distance(100, rng)
+        .with_src_path("/r/090")
+        .with_duration(cands[300].duration)
+    )
+
+    tol = 0.47
+    s1 = Search(cands)
+    expected = [
+        s1.search_with_references([r], tol, consume=False)[0] for r in refs
+    ]
+    s2 = Search(cands)
+    got = s2.search_with_references_batched(refs, tol)
+    assert got == expected
+    assert any(expected)

@@ -233,6 +233,124 @@ def banded_adjacency_device(
     return ii[order], jj[order]
 
 
+def _get_window_kernel():
+    """Jitted tile kernel for the references search: per-row [lo, hi)
+    column windows instead of the self-search's j > i band."""
+    global _WINDOW_KERNEL
+    try:
+        return _WINDOW_KERNEL
+    except NameError:
+        pass
+    import jax
+    import jax.numpy as jnp
+
+    unpack_pm1 = _get_device_fns()["unpack_pm1"]
+
+    def window_kernel(rows_packed, cols_packed, row_lo, row_hi, col_ids, tol):
+        a = unpack_pm1(rows_packed)
+        b = unpack_pm1(cols_packed)
+        dot = jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dist = (HASH_BITS_PADDED - dot) // 2
+        adj = (
+            (dist <= tol)
+            & (col_ids[None, :] >= row_lo[:, None])
+            & (col_ids[None, :] < row_hi[:, None])
+        )
+        count = jnp.sum(adj, dtype=jnp.int32)
+        tm, tc = adj.shape
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[
+            None, None, :
+        ]
+        packed_adj = jnp.sum(
+            adj.reshape(tm, tc // 32, 32).astype(jnp.uint32) * weights,
+            axis=-1,
+            dtype=jnp.uint32,
+        )
+        return packed_adj, count
+
+    _WINDOW_KERNEL = jax.jit(window_kernel)
+    return _WINDOW_KERNEL
+
+
+def windowed_adjacency_device(
+    rows_packed: np.ndarray,
+    cols_packed: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    tolerance_int: int,
+    row_block: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All pairs (i, j) with lo[i] <= j < hi[i] and hamming <= tolerance,
+    in lexicographic order — the device path for
+    ``search_with_references`` (rows = duration-sorted references,
+    columns = candidate entries, the reference's [0.95d, 1.05d] window
+    giving each row a contiguous column range)."""
+    import jax.numpy as jnp
+
+    r = rows_packed.shape[0]
+    n = cols_packed.shape[0]
+    if r == 0 or n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    kernel = _get_window_kernel()
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+
+    tc = 4096
+    n_pad = _round_up(n, 32) + tc
+    cols_pad = np.zeros((n_pad, cols_packed.shape[1]), np.uint32)
+    cols_pad[:n] = cols_packed
+    dev_cols = jnp.asarray(cols_pad)
+
+    tm = _round_up(min(row_block, r), 32)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for r0 in range(0, r, row_block):
+        r1 = min(r0 + row_block, r)
+        rows = np.zeros((tm, rows_packed.shape[1]), np.uint32)
+        rows[: r1 - r0] = rows_packed[r0:r1]
+        row_lo = np.full(tm, 2**30, np.int32)  # pad rows match nothing
+        row_lo[: r1 - r0] = lo[r0:r1]
+        row_hi = np.zeros(tm, np.int32)
+        row_hi[: r1 - r0] = np.minimum(hi[r0:r1], n)
+        rows_d = jnp.asarray(rows)
+        row_lo_d = jnp.asarray(row_lo)
+        row_hi_d = jnp.asarray(row_hi)
+
+        c0 = int(lo[r0:r1].min()) if r1 > r0 else 0
+        c_end = int(np.minimum(hi[r0:r1], n).max())
+        while c0 < c_end:
+            col_ids = np.arange(c0, c0 + tc, dtype=np.int64)
+            col_ids_np = col_ids.astype(np.int32)
+            packed_adj, count = kernel(
+                rows_d,
+                dev_cols[c0 : c0 + tc],
+                row_lo_d,
+                row_hi_d,
+                jnp.asarray(col_ids_np),
+                np.int32(tolerance_int),
+            )
+            if int(count) > 0:
+                adj_bits = np.asarray(packed_adj)
+                bits = (
+                    (adj_bits[:, :, None] >> _BIT_SHIFTS[None, None, :]) & 1
+                ).reshape(tm, tc).astype(bool)
+                ii, jj = np.nonzero(bits)
+                out_i.append(ii.astype(np.int64) + r0)
+                out_j.append(jj.astype(np.int64) + c0)
+            c0 += tc
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    order = np.lexsort((jj, ii))
+    return ii[order], jj[order]
+
+
 def _on_tpu() -> bool:
     try:
         import jax

@@ -43,6 +43,21 @@ _DEVICE_SEARCH_THRESHOLD = 4096
 # search_with_references switches to blocked-matmul batching at this many refs.
 _BATCHED_REFS_THRESHOLD = 64
 
+# total ref-window comparisons above which the batched refs search runs
+# on device (int8 MXU matmul) instead of host BLAS
+_DEVICE_REFS_WORK_THRESHOLD = int(
+    os.environ.get("VDF_REFS_DEVICE_THRESHOLD", str(1 << 24))
+)
+
+
+def _device_available() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "cpu")
+    except Exception:
+        return False
+
 HASH_BITS_F = 1024.0  # +/-1 dot covers all storage bits
 
 
@@ -207,8 +222,28 @@ class Search:
 
         from .ops.hamming import unpack_pm1_host
 
-        cand_pm = unpack_pm1_host(hashes_to_matrix(self.entries))
         order = sorted(range(len(refs)), key=lambda k: refs[k].duration)
+
+        # large workloads ride the device: blocked int8 MXU matmul over
+        # the per-ref [0.95d, 1.05d] column windows (output-identical)
+        windows_all = [self._duration_slice(refs[k].duration) for k in order]
+        work = sum(w[1] - w[0] for w in windows_all)
+        if work >= _DEVICE_REFS_WORK_THRESHOLD and _device_available():
+            from .ops.hamming import windowed_adjacency_device
+
+            ref_mat = hashes_to_matrix([refs[k] for k in order])
+            lo = np.array([w[0] for w in windows_all], np.int64)
+            hi = np.array([w[1] for w in windows_all], np.int64)
+            pi, pj = windowed_adjacency_device(
+                ref_mat, hashes_to_matrix(self.entries), lo, hi, tol
+            )
+            results = [[] for _ in refs]
+            for i, j in zip(pi.tolist(), pj.tolist()):
+                if not self.matched[j]:
+                    results[order[i]].append(self.entries[j].src_path)
+            return results
+
+        cand_pm = unpack_pm1_host(hashes_to_matrix(self.entries))
         results: list[list[str]] = [[] for _ in refs]
 
         r_block = 256
