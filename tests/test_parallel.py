@@ -328,3 +328,38 @@ def test_device_preproc_pipeline_motion_crop():
     dev = hash_videos(paths, options=opts, device_preproc=True)
     for p in paths:
         assert host[p].hamming_distance(dev[p]) <= 2, p
+
+
+def test_refs_pallas_matches_bruteforce_interpret():
+    """The generalized Pallas sweep's per-row [lo, hi) window (the refs
+    search path) against a brute-force popcount oracle."""
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        refs_adjacency_pallas,
+    )
+
+    rng = np.random.default_rng(30)
+    n, r = 3000, 500
+    cands = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    refs = rng.integers(0, 2**32, (r, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    cd = np.sort(rng.integers(50, 500, n))
+    rd = np.sort(rng.integers(50, 500, r))
+    lo = np.searchsorted(cd, (rd * 0.95).astype(np.int64), "left")
+    hi = np.searchsorted(cd, (rd * 1.05).astype(np.int64), "right")
+    for k in range(0, r, 50):  # planted matches inside the window
+        if hi[k] > lo[k]:
+            refs[k] = cands[lo[k]]
+    tol = 470
+    dist = np.bitwise_count(refs[:, None, :] ^ cands[None, :, :]).sum(2)
+    exp = sorted(
+        (i, j)
+        for i in range(r)
+        for j in range(int(lo[i]), int(hi[i]))
+        if dist[i, j] <= tol
+    )
+    pi, pj = refs_adjacency_pallas(refs, cands, lo, hi, tol)
+    assert list(zip(pi.tolist(), pj.tolist())) == exp
+    assert len(exp) > 0

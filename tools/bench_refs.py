@@ -1,0 +1,84 @@
+"""Multi-reference search throughput: R references against N candidates.
+
+The reference loops refs one at a time against a binary-searched
+duration slice (video_dup_finder.rs:19-46) — scalar XOR+POPCNT per pair.
+Here large workloads ride the device as blocked int8 MXU matmuls over
+the per-ref [0.95d, 1.05d] windows (ops/hamming.windowed_adjacency_device).
+
+Usage: python tools/bench_refs.py    (VDF_REFS_R / VDF_REFS_N env knobs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vid_dup_finder_lib_tpu.utils.jaxconfig import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+
+def main() -> None:
+    enable_compilation_cache()
+    r = int(os.environ.get("VDF_REFS_R", "10000"))
+    n = int(os.environ.get("VDF_REFS_N", "1000000"))
+    rng = np.random.default_rng(0)
+
+    try:
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+            refs_adjacency_pallas as windowed,
+        )
+    else:
+        from vid_dup_finder_lib_tpu.ops.hamming import (
+            windowed_adjacency_device as windowed,
+        )
+
+    cands = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(np.uint32)
+    refs = rng.integers(0, 2**32, (r, 32), dtype=np.uint64).astype(np.uint32)
+    cand_durs = np.sort(rng.integers(30, 7200, n))
+    ref_durs = np.sort(rng.integers(30, 7200, r))
+    lo = np.searchsorted(cand_durs, (ref_durs * 0.95).astype(np.int64), "left")
+    hi = np.searchsorted(cand_durs, (ref_durs * 1.05).astype(np.int64), "right")
+    comps = int(np.sum(hi - lo))
+    # plant matches: every 100th ref copies a candidate INSIDE its own
+    # duration window, so the recovered pair count validates the sweep
+    planted = 0
+    for k in range(0, r, 100):
+        if hi[k] > lo[k]:
+            refs[k] = cands[int(lo[k])]
+            planted += 1
+
+    tol = 350
+    windowed(refs[:256], cands, lo[:256], hi[:256], tol)  # warm
+    t0 = time.time()
+    pi, pj = windowed(refs, cands, lo, hi, tol)
+    dt = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"refs_search_comps_per_sec@{r}x{n}",
+                "value": round(comps / dt, 1),
+                "unit": "comparisons/s",
+                "secs": round(dt, 2),
+                "pairs": int(len(pi)),
+                "planted": planted,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

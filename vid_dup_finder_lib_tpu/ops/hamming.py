@@ -118,15 +118,17 @@ def _get_device_fns():
 
     def block_kernel(rows_packed, cols_packed, row_ids, col_ids, row_bounds, tol):
         """Distances for one (TM, TC) tile -> bitpacked adjacency + count."""
-        a = unpack_pm1(rows_packed)
-        b = unpack_pm1(cols_packed)
+        # bf16, not int8: XLA's int8 dot lowers to VPU loops on TPU
+        # (~12x slower than the MXU); bf16 -> f32 is exact for +/-1
+        a = unpack_pm1(rows_packed).astype(jnp.bfloat16)
+        b = unpack_pm1(cols_packed).astype(jnp.bfloat16)
         dot = jax.lax.dot_general(
             a,
             b,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.float32,
         )
-        dist = (HASH_BITS_PADDED - dot) // 2
+        dist = ((HASH_BITS_PADDED - dot) * 0.5).astype(jnp.int32)
         adj = (
             (dist <= tol)
             & (col_ids[None, :] > row_ids[:, None])
@@ -246,16 +248,18 @@ def _get_window_kernel():
 
     unpack_pm1 = _get_device_fns()["unpack_pm1"]
 
-    def window_kernel(rows_packed, cols_packed, row_lo, row_hi, col_ids, tol):
-        a = unpack_pm1(rows_packed)
-        b = unpack_pm1(cols_packed)
+    def window_kernel(rows_packed, cols_pm, row_lo, row_hi, col_ids, tol):
+        # bf16 operands (cols pre-unpacked ONCE by the caller): bf16 ->
+        # f32 accumulation is exact for +/-1 operands and rides the MXU
+        a = unpack_pm1(rows_packed).astype(jnp.bfloat16)
+        b = cols_pm
         dot = jax.lax.dot_general(
             a,
             b,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.float32,
         )
-        dist = (HASH_BITS_PADDED - dot) // 2
+        dist = ((HASH_BITS_PADDED - dot) * 0.5).astype(jnp.int32)
         adj = (
             (dist <= tol)
             & (col_ids[None, :] >= row_lo[:, None])
@@ -283,13 +287,18 @@ def windowed_adjacency_device(
     lo: np.ndarray,
     hi: np.ndarray,
     tolerance_int: int,
-    row_block: int = 2048,
+    row_block: int = 512,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All pairs (i, j) with lo[i] <= j < hi[i] and hamming <= tolerance,
     in lexicographic order — the device path for
     ``search_with_references`` (rows = duration-sorted references,
     columns = candidate entries, the reference's [0.95d, 1.05d] window
-    giving each row a contiguous column range)."""
+    giving each row a contiguous column range).
+
+    ``row_block`` trades launch count against padded work: each block
+    sweeps the UNION of its rows' windows, so smaller blocks keep the
+    swept rectangle close to the useful band."""
+    import jax
     import jax.numpy as jnp
 
     r = rows_packed.shape[0]
@@ -300,15 +309,21 @@ def windowed_adjacency_device(
     lo = np.asarray(lo, dtype=np.int64)
     hi = np.asarray(hi, dtype=np.int64)
 
-    tc = 4096
-    n_pad = _round_up(n, 32) + tc
+    # column-chunk size buckets: a handful of big calls (XLA tiles
+    # internally), with count fetches deferred until all dispatch
+    buckets = (65536, 16384, 4096)
+    n_pad = _round_up(n, 32) + buckets[0]
     cols_pad = np.zeros((n_pad, cols_packed.shape[1]), np.uint32)
     cols_pad[:n] = cols_packed
-    dev_cols = jnp.asarray(cols_pad)
+    # unpack the candidate matrix ONCE (bf16 [n_pad, 1024]); slices feed
+    # every call instead of re-unpacking per chunk
+    unpack_pm1 = _get_device_fns()["unpack_pm1"]
+    dev_cols = jax.jit(lambda p: unpack_pm1(p).astype(jnp.bfloat16))(
+        jnp.asarray(cols_pad)
+    )
 
     tm = _round_up(min(row_block, r), 32)
-    out_i: list[np.ndarray] = []
-    out_j: list[np.ndarray] = []
+    pending: list[tuple[object, object, int, int]] = []
     for r0 in range(0, r, row_block):
         r1 = min(r0 + row_block, r)
         rows = np.zeros((tm, rows_packed.shape[1]), np.uint32)
@@ -324,25 +339,35 @@ def windowed_adjacency_device(
         c0 = int(lo[r0:r1].min()) if r1 > r0 else 0
         c_end = int(np.minimum(hi[r0:r1], n).max())
         while c0 < c_end:
-            col_ids = np.arange(c0, c0 + tc, dtype=np.int64)
-            col_ids_np = col_ids.astype(np.int32)
+            tc = next(
+                (b for b in buckets if b <= c_end - c0), buckets[-1]
+            )
+            col_ids = np.arange(c0, c0 + tc, dtype=np.int32)
             packed_adj, count = kernel(
                 rows_d,
                 dev_cols[c0 : c0 + tc],
                 row_lo_d,
                 row_hi_d,
-                jnp.asarray(col_ids_np),
+                jnp.asarray(col_ids),
                 np.int32(tolerance_int),
             )
-            if int(count) > 0:
-                adj_bits = np.asarray(packed_adj)
-                bits = (
-                    (adj_bits[:, :, None] >> _BIT_SHIFTS[None, None, :]) & 1
-                ).reshape(tm, tc).astype(bool)
-                ii, jj = np.nonzero(bits)
-                out_i.append(ii.astype(np.int64) + r0)
-                out_j.append(jj.astype(np.int64) + c0)
+            # defer the count fetch: all calls dispatch back-to-back
+            pending.append((packed_adj, count, r0, c0))
             c0 += tc
+
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for packed_adj, count, r0, c0 in pending:
+        if int(count) == 0:
+            continue
+        adj_bits = np.asarray(packed_adj)
+        tm_, tw = adj_bits.shape
+        bits = (
+            (adj_bits[:, :, None] >> _BIT_SHIFTS[None, None, :]) & 1
+        ).reshape(tm_, tw * 32).astype(bool)
+        ii, jj = np.nonzero(bits)
+        out_i.append(ii.astype(np.int64) + r0)
+        out_j.append(jj.astype(np.int64) + c0)
     if not out_i:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     ii = np.concatenate(out_i)

@@ -53,6 +53,9 @@ TILE_N = int(os.environ.get("VDF_TILE_N", "1024"))
 R_TILES = int(os.environ.get("VDF_R_TILES", "1"))
 BAND_TILES = int(os.environ.get("VDF_BAND_TILES", "16"))
 
+# pad-row lower-bound sentinel: no real column id ever exceeds it
+_ROW_LO_SENTINEL = 2**30
+
 
 def _is_tpu() -> bool:
     import jax
@@ -67,11 +70,18 @@ def _is_tpu() -> bool:
 def _build_chunk(interpret: bool):
     """Compiled sweep of R_TILES row tiles x BAND_TILES column tiles.
 
-    scalars (int32[3 + 2 * R_TILES]):
+    scalars (int32[3 + 3 * R_TILES]):
       [0] tolerance, [1] n, [2] first row-tile index,
       [3 + i] first column-tile index for row tile i,
-      [3 + R_TILES + i] min duration-band bound over row tile i (the
-      interior-tile fast path skips per-element masking).
+      [3 + R_TILES + i] min column bound over row tile i,
+      [3 + 2*R_TILES + i] max row_lo over row tile i (incl. pad-row
+      sentinels) — the two per-tile extrema drive the interior-tile fast
+      path that skips per-element masking.
+
+    Each row's valid columns are [row_lo + 1, bounds): the self-search
+    passes row_lo = the row's own global index (reproducing j > i), the
+    references search passes its [0.95d, 1.05d] window's lower edge - 1
+    — one compiled kernel serves both.
     """
     from ..utils.jaxconfig import enable_compilation_cache
 
@@ -81,19 +91,18 @@ def _build_chunk(interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, pow_lo_ref,
-               pow_hi_ref, out_ref):
+    def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, row_lo_ref,
+               pow_lo_ref, pow_hi_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         tol = scal_ref[0]
         n = scal_ref[1]
-        r0 = (scal_ref[2] + i) * TILE_M
         c0 = (scal_ref[3 + i] + j) * TILE_N
-        # min duration-band bound over this launch's row tile i
-        # (host-precomputed): tiles fully inside every row's band skip the
-        # per-element id masks — most tiles are interior, and the masking
-        # VPU passes cost as much as the MXU dot itself.
+        # per-row-tile extrema (host-precomputed): tiles fully inside
+        # every row's window skip the per-element masks — most tiles
+        # are, and the masking VPU passes cost as much as the MXU dot.
         min_bound = scal_ref[3 + R_TILES + i]
+        max_row_lo = scal_ref[3 + 2 * R_TILES + i]
 
         a = rows_ref[...]  # [TILE_M, 1024] +/-1 (PM_DTYPE)
         b = cols_ref[...]  # [TILE_N, 1024]
@@ -109,11 +118,9 @@ def _build_chunk(interpret: bool):
         # count, like the reference's 16-word popcount)
         dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(acc)
 
-        interior = (
-            (c0 >= r0 + TILE_M)
-            & (c0 + TILE_N <= min_bound)
-            & (r0 + TILE_M <= n)
-        )
+        # max_row_lo is the pad-row sentinel (2^30) on partial tiles, so
+        # interior is automatically false there
+        interior = (c0 > max_row_lo) & (c0 + TILE_N <= min_bound)
 
         def pack_and_store(adj) -> None:
             # Transposed bitpack via MXU: word [r, c] collects rows
@@ -145,20 +152,18 @@ def _build_chunk(interpret: bool):
         @pl.when(jnp.logical_not(interior))
         def _boundary():
             # narrow index vectors broadcast against the tile (full [M, N]
-            # int32 index matrices would blow the VMEM budget)
-            row_ids = r0 + jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_M, 1), 0
-            )
+            # int32 index matrices would blow the VMEM budget); pad rows
+            # carry row_lo = 2^30 and bounds = -1, masking them out
             col_ids = c0 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, TILE_N), 1
             )
+            row_lo = row_lo_ref[...]  # [TILE_M, 1]
             bounds = bounds_ref[...]  # [TILE_M, 1]
             col_limit = jnp.minimum(bounds, n)  # [TILE_M, 1]
             pack_and_store(
                 (dot >= dot_thresh)
-                & (col_ids > row_ids)
+                & (col_ids > row_lo)
                 & (col_ids < col_limit)
-                & (row_ids < n)
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -173,6 +178,11 @@ def _build_chunk(interpret: bool):
             pl.BlockSpec(
                 (TILE_N, HASH_BITS_PADDED),
                 lambda i, j, s: (s[3 + i] + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_M, 1),
+                lambda i, j, s: (s[2] + i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -209,7 +219,7 @@ def _build_chunk(interpret: bool):
         else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
     )
 
-    def one_launch(scalars, pm1, bounds):
+    def one_launch(scalars, pm1, bounds, row_lo):
         packed = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -219,7 +229,7 @@ def _build_chunk(interpret: bool):
             compiler_params=compiler_params,
             interpret=interpret,
         )(
-            scalars, pm1, pm1, bounds,
+            scalars, pm1, pm1, bounds, row_lo,
             jnp.asarray(pow_lo_np, dtype=jnp.bfloat16),
             jnp.asarray(pow_hi_np, dtype=jnp.bfloat16),
         )
@@ -310,8 +320,10 @@ def banded_adjacency_pallas_v4(
         state = PallasSearchState(packed, bounds)
 
     fn = _build_chunk(interpret)
-    scal0 = jnp.zeros((3 + 2 * R_TILES,), jnp.int32)
-    compiled = fn.lower(scal0, state.pm1, state.bounds_dev).compile()
+    scal0 = jnp.zeros((3 + 3 * R_TILES,), jnp.int32)
+    compiled = fn.lower(
+        scal0, state.pm1, state.bounds_dev, state.row_lo_dev
+    ).compile()
     group_stack, super_stack, extract_tiles = _v4_jits()
 
     n_row_tiles = -(-n // TILE_M)
@@ -372,12 +384,16 @@ def banded_adjacency_pallas_v4(
         packed_refs: list = []
         group_handles: list = []
         counts_buf: list = []
-        scal = np.zeros(3 + 2 * R_TILES, dtype=np.int32)
+        scal = np.zeros(3 + 3 * R_TILES, dtype=np.int32)
         for rt, ct0 in wlaunches:
             scal[:] = (
-                tolerance_int, n, rt, ct0, int(state.min_bound[rt]),
+                tolerance_int, n, rt, ct0,
+                int(state.min_bound[rt]), int(state.max_row_lo[rt]),
             )
-            p, c = compiled(jnp.asarray(scal), state.pm1, state.bounds_dev)
+            p, c = compiled(
+                jnp.asarray(scal), state.pm1, state.bounds_dev,
+                state.row_lo_dev,
+            )
             if interpret:
                 # emulated DMA is not safe across in-flight launches
                 c.block_until_ready()
@@ -432,11 +448,11 @@ def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
     chunk_fn = _build_chunk(interpret)
 
     @jax.jit
-    def sweep(scalars_all, pm1, bounds):
-        """scalars_all: int32[sweep_calls, 3 + 2*R_TILES] -> stacked outputs."""
+    def sweep(scalars_all, pm1, bounds, row_lo):
+        """scalars_all: int32[sweep_calls, 3 + 3*R_TILES] -> stacked outputs."""
 
         def body(_, scal):
-            packed, counts = chunk_fn(scal, pm1, bounds)
+            packed, counts = chunk_fn(scal, pm1, bounds, row_lo)
             return None, (packed, counts)
 
         # unroll amortizes the device while-loop overhead (~0.55 ms/iter
@@ -559,11 +575,20 @@ class PallasSearchState:
         bounds_dev_np[:n, 0] = np.minimum(bounds, n)
         self.bounds_dev = jnp.asarray(bounds_dev_np)
 
+        # per-row LOWER column bound (exclusive): the self-search's
+        # j > i; pad rows get a sentinel that masks them everywhere
+        row_lo_np = np.full((n_pad, 1), _ROW_LO_SENTINEL, dtype=np.int32)
+        row_lo_np[:n, 0] = np.arange(n, dtype=np.int32)
+        self.row_lo_dev = jnp.asarray(row_lo_np)
+
         # per row tile: first col tile of the band, number of col tiles,
-        # and the min band bound (the kernel's interior-tile fast path)
+        # and the window extrema (the kernel's interior-tile fast path)
         first_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
         n_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
         min_bound = np.zeros(n_row_chunks * R_TILES, dtype=np.int64)
+        max_row_lo = np.full(
+            n_row_chunks * R_TILES, _ROW_LO_SENTINEL, dtype=np.int64
+        )
         for rt in range(n_row_chunks * R_TILES):
             r0 = rt * TILE_M
             r1 = min(r0 + TILE_M, n)
@@ -576,12 +601,15 @@ class PallasSearchState:
             first_ct[rt] = ct0
             n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
             min_bound[rt] = min(int(bounds[r0:r1].min()), n)
+            if r1 == r0 + TILE_M:  # full tile: no pad-row sentinels
+                max_row_lo[rt] = r1 - 1
         self.n = n
         self.n_pad = n_pad
         self.n_row_chunks = n_row_chunks
         self.first_ct = first_ct
         self.n_ct = n_ct
         self.min_bound = min_bound
+        self.max_row_lo = max_row_lo
         self.max_ct = (n_pad - TILE_N) // TILE_N
 
     def ensure_rows(self, rows_needed: int) -> None:
@@ -826,20 +854,23 @@ def banded_adjacency_pallas(
             state.ensure_rows(need)
             pm1 = state.pm1
         scalars_all = np.zeros(
-            (sweep_calls, 3 + 2 * R_TILES), dtype=np.int32
+            (sweep_calls, 3 + 3 * R_TILES), dtype=np.int32
         )
-        # padding rows keep tol=-1: dot >= 1002 is impossible, no matches
+        # padding rows keep tol=-1: dot >= 1026 is impossible, no matches
         scalars_all[:, 0] = -1
         for k, (rt0, cts) in enumerate(batch):
             scalars_all[k, 0] = tolerance_int
             scalars_all[k, 1] = n
             scalars_all[k, 2] = rt0
             scalars_all[k, 3 : 3 + R_TILES] = cts
-            scalars_all[k, 3 + R_TILES :] = state.min_bound[
-                rt0 : rt0 + R_TILES
-            ]
+            scalars_all[k, 3 + R_TILES : 3 + 2 * R_TILES] = (
+                state.min_bound[rt0 : rt0 + R_TILES]
+            )
+            scalars_all[k, 3 + 2 * R_TILES :] = (
+                state.max_row_lo[rt0 : rt0 + R_TILES]
+            )
         packed_all, counts_all = sweep_fn(
-            jnp.asarray(scalars_all), pm1, bounds_dev
+            jnp.asarray(scalars_all), pm1, bounds_dev, state.row_lo_dev
         )
         if interpret:
             # emulated buffers: process eagerly, no windowing
@@ -888,3 +919,103 @@ def banded_adjacency_pallas(
     jj = np.concatenate(out_j)
     order = np.lexsort((jj, ii))
     return ii[order], jj[order]
+
+
+def refs_adjacency_pallas(
+    refs_packed: np.ndarray,
+    cands_packed: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    tolerance_int: int,
+    interpret: bool | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """References-vs-candidates adjacency on the Pallas sweep kernel.
+
+    All pairs (i, j) with lo[i] <= j < hi[i] and hamming <= tolerance,
+    lexicographic — the device path for ``search_with_references``
+    (video_dup_finder.rs:19-46's [0.95d, 1.05d] window).  The refs rows
+    are appended AFTER the candidate block in one device matrix, and the
+    kernel's generalized per-row [row_lo + 1, bounds) window does the
+    rest: row_lo = lo - 1, bounds = hi (the self-search is the special
+    case row_lo = own index).
+    """
+    import jax.numpy as jnp
+
+    r = refs_packed.shape[0]
+    n = cands_packed.shape[0]
+    if r == 0 or n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+
+    # combined layout: [cands (tile-padded) | refs (tile-padded)]
+    n_col_pad = -(-n // TILE_N) * TILE_N + (BAND_TILES + 1) * TILE_N
+    ref0 = n_col_pad  # first refs row (row-tile aligned: TILE_N % TILE_M == 0)
+    n_ref_tiles = -(-r // TILE_M)
+    n_ref_chunks = -(-n_ref_tiles // R_TILES)
+    n_pad = ref0 + n_ref_chunks * R_TILES * TILE_M
+    packed_pad = np.zeros((n_pad, cands_packed.shape[1]), np.uint32)
+    packed_pad[:n] = cands_packed
+    packed_pad[ref0 : ref0 + r] = refs_packed
+
+    bounds_full = np.full(n_pad, -1, dtype=np.int64)
+    bounds_full[ref0 : ref0 + r] = np.minimum(hi, n)
+    row_lo_full = np.full(n_pad, _ROW_LO_SENTINEL, dtype=np.int64)
+    row_lo_full[ref0 : ref0 + r] = lo - 1
+
+    state = _RefsState(packed_pad, bounds_full, row_lo_full, n, ref0, r)
+    ii, jj = banded_adjacency_pallas(
+        None, bounds_full, tolerance_int, interpret=interpret, state=state
+    )
+    return ii - ref0, jj
+
+
+class _RefsState(PallasSearchState):
+    """PallasSearchState over the combined [cands | refs] matrix, with
+    launch metadata covering only the refs row tiles."""
+
+    def __init__(self, packed_pad, bounds_full, row_lo_full, n_cands,
+                 ref0, r) -> None:
+        import jax.numpy as jnp
+
+        n_pad = packed_pad.shape[0]
+        self.uploaded_rows = None
+        self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
+        self.pm1.block_until_ready()
+
+        bounds_dev_np = bounds_full.astype(np.int32)[:, None]
+        self.bounds_dev = jnp.asarray(bounds_dev_np)
+        self.row_lo_dev = jnp.asarray(
+            row_lo_full.astype(np.int32)[:, None]
+        )
+
+        n_tiles = n_pad // TILE_M
+        first_ct = np.zeros(n_tiles, dtype=np.int64)
+        n_ct = np.zeros(n_tiles, dtype=np.int64)
+        min_bound = np.zeros(n_tiles, dtype=np.int64)
+        max_row_lo = np.full(n_tiles, _ROW_LO_SENTINEL, dtype=np.int64)
+        ref_t0 = ref0 // TILE_M
+        for rt in range(ref_t0, n_tiles):
+            r0 = rt * TILE_M
+            r1 = min(r0 + TILE_M, ref0 + r)
+            if r0 >= ref0 + r:
+                continue
+            ct0 = int(row_lo_full[r0:r1].min() + 1) // TILE_N
+            c_end = int(bounds_full[r0:r1].max())
+            first_ct[rt] = ct0
+            n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
+            min_bound[rt] = int(bounds_full[r0:r1].min())
+            if r1 == r0 + TILE_M:
+                max_row_lo[rt] = int(row_lo_full[r0:r1].max())
+        # the driver iterates row chunks [0, n_row_chunks); start at the
+        # refs region by reporting only those chunks and offsetting in
+        # first_ct/n_ct indexing (chunk_idx * R_TILES is an absolute row
+        # tile index, so metadata arrays stay absolute-indexed)
+        self.n = n_cands  # kernel's col clamp only
+        self.n_pad = n_pad
+        self.n_row_chunks = n_tiles // R_TILES
+        self.first_ct = first_ct
+        self.n_ct = n_ct
+        self.min_bound = min_bound
+        self.max_row_lo = max_row_lo
+        self.max_ct = (n_pad - TILE_N) // TILE_N

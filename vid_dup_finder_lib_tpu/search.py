@@ -58,6 +58,15 @@ def _device_available() -> bool:
     except Exception:
         return False
 
+
+def _on_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
 HASH_BITS_F = 1024.0  # +/-1 dot covers all storage bits
 
 
@@ -229,14 +238,22 @@ class Search:
         windows_all = [self._duration_slice(refs[k].duration) for k in order]
         work = sum(w[1] - w[0] for w in windows_all)
         if work >= _DEVICE_REFS_WORK_THRESHOLD and _device_available():
-            from .ops.hamming import windowed_adjacency_device
-
             ref_mat = hashes_to_matrix([refs[k] for k in order])
             lo = np.array([w[0] for w in windows_all], np.int64)
             hi = np.array([w[1] for w in windows_all], np.int64)
-            pi, pj = windowed_adjacency_device(
-                ref_mat, hashes_to_matrix(self.entries), lo, hi, tol
-            )
+            if _on_tpu():
+                # the generalized Pallas sweep: per-row [lo, hi) window
+                from .ops.hamming_pallas import refs_adjacency_pallas
+
+                pi, pj = refs_adjacency_pallas(
+                    ref_mat, hashes_to_matrix(self.entries), lo, hi, tol
+                )
+            else:
+                from .ops.hamming import windowed_adjacency_device
+
+                pi, pj = windowed_adjacency_device(
+                    ref_mat, hashes_to_matrix(self.entries), lo, hi, tol
+                )
             results = [[] for _ in refs]
             for i, j in zip(pi.tolist(), pj.tolist()):
                 if not self.matched[j]:
