@@ -363,3 +363,25 @@ def test_refs_pallas_matches_bruteforce_interpret():
     pi, pj = refs_adjacency_pallas(refs, cands, lo, hi, tol)
     assert list(zip(pi.tolist(), pj.tolist())) == exp
     assert len(exp) > 0
+
+
+def test_pallas_v4_driver_matches_host_interpret():
+    """The alternate AOT-dispatch driver (backend='pallas4') stays
+    pair-identical to the host sweep after kernel changes."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        banded_adjacency_pallas_v4,
+    )
+
+    rng = np.random.default_rng(14)
+    n = 600
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    durs = np.sort(rng.integers(50, 200, n))
+    bounds = np.searchsorted(
+        durs, (durs * 1.1).astype(np.int64), side="right"
+    )
+    hi, hj = banded_adjacency_host(packed, bounds, 480)
+    vi, vj = banded_adjacency_pallas_v4(packed, bounds, 480)
+    assert np.array_equal(hi, vi) and np.array_equal(hj, vj)
