@@ -807,8 +807,7 @@ def banded_adjacency_pallas(
     out_j: list[np.ndarray] = []
     hit_tiles: list[tuple[object, int, int]] = []
 
-    def process(batch, packed_all, counts_all) -> None:
-        counts_np = np.asarray(counts_all)  # [sweep_calls, R_TILES, BAND]
+    def process_counts(batch, counts_np, packed_all) -> None:
         for k, i, j in zip(*np.nonzero(counts_np > 0)):
             rt0, cts = batch[int(k)]
             # slice the hit tile out (device op; frees the batch buffer)
@@ -822,13 +821,31 @@ def banded_adjacency_pallas(
                 )
             )
 
-    # Keep a few sweep batches in flight before fetching counts: the
-    # synchronous per-batch fetch cost one d2h round-trip (~30-150 ms
-    # through the tunnel) of device idle per batch — ~1 s of the 1M sweep.
-    # Each in-flight batch holds its packed output (~1 GB at the default
-    # geometry) in HBM, so the window is small and tunable.
-    max_inflight = int(os.environ.get("VDF_SWEEP_INFLIGHT", "3"))
+    # Keep a window of sweep batches in flight, then fetch the window's
+    # counts in ONE concatenated d2h: per-batch fetches put a ~0.25 s
+    # tunnel round-trip each on the critical path (the 1M sweep ran 2.1 s
+    # against a 0.55 s launch floor; at 4M, where fetches amortize, the
+    # sweep sits AT the floor).  Each in-flight batch holds its packed
+    # output (~1 GB at the default geometry) in HBM, bounding the window.
+    max_inflight = int(os.environ.get("VDF_SWEEP_INFLIGHT", "6"))
     inflight: list[tuple[list, object, object]] = []
+
+    def drain_inflight() -> None:
+        if not inflight:
+            return
+        flat = np.asarray(
+            jnp.concatenate(
+                [c.reshape(-1) for (_, _, c) in inflight]
+            )
+        )
+        off = 0
+        for batch, packed_all, counts_all in inflight:
+            size = int(np.prod(counts_all.shape))
+            counts_np = flat[off : off + size].reshape(counts_all.shape)
+            off += size
+            process_counts(batch, counts_np, packed_all)
+        inflight.clear()
+
     b0 = 0
     while b0 < len(launches):
         rem = len(launches) - b0
@@ -874,13 +891,14 @@ def banded_adjacency_pallas(
         )
         if interpret:
             # emulated buffers: process eagerly, no windowing
-            process(batch, packed_all, counts_all)
+            process_counts(
+                batch, np.asarray(counts_all), packed_all
+            )
         else:
             inflight.append((batch, packed_all, counts_all))
-            if len(inflight) > max_inflight:
-                process(*inflight.pop(0))
-    while inflight:
-        process(*inflight.pop(0))
+            if len(inflight) >= max_inflight:
+                drain_inflight()
+    drain_inflight()
 
     # Phase 3: batched index-only extraction of all hit tiles (device
     # stacks + one sized nonzero + one small index fetch per round).
