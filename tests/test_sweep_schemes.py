@@ -1,0 +1,65 @@
+"""Two-phase (counts + hit repack) vs one-pass Pallas sweep drivers.
+
+The default driver sweeps counts-only and re-packs hit launches (phase B);
+VDF_SWEEP_SCHEME=onepass keeps the original packed-adjacency sweep.  Both
+must reproduce the host backend pair-for-pair, and the phase-B word-
+capacity overflow must fall back to exact host extraction.
+"""
+
+import numpy as np
+
+from tests.test_windowed import _random_library
+
+
+def _host(packed, bounds, tol):
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+
+    return banded_adjacency_host(packed, bounds, tol)
+
+
+def test_two_phase_matches_onepass_and_host(monkeypatch):
+    from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+
+    rng = np.random.default_rng(21)
+    packed, bounds = _random_library(900, rng)
+    hi, hj = _host(packed, bounds, 350)
+    assert len(hi) > 0
+
+    ti, tj = hp.banded_adjacency_pallas(packed, bounds, 350)
+    assert np.array_equal(hi, ti)
+    assert np.array_equal(hj, tj)
+
+    monkeypatch.setenv("VDF_SWEEP_SCHEME", "onepass")
+    oi, oj = hp.banded_adjacency_pallas(packed, bounds, 350)
+    assert np.array_equal(hi, oi)
+    assert np.array_equal(hj, oj)
+
+
+def test_phase_b_word_capacity_overflow_falls_back(monkeypatch):
+    """A dense all-duplicates cluster overflows a tiny word cap; the
+    per-launch host fallback must still produce exact pairs."""
+    from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+
+    rng = np.random.default_rng(33)
+    n = 300
+    seed = rng.integers(0, 2**32, 32, dtype=np.uint64).astype(np.uint32)
+    seed[-1] &= np.uint32(0xFF)
+    packed = np.empty((n, 32), np.uint32)
+    for k in range(n):
+        h = seed.copy()
+        for b in rng.choice(1000, 40, replace=False):
+            h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        packed[k] = h
+    bounds = np.full(n, n, dtype=np.int64)  # equal durations: full band
+
+    hi, hj = _host(packed, bounds, 350)
+    assert len(hi) > 1000  # dense: far more words than the tiny cap
+
+    monkeypatch.setattr(hp, "EXTRACT_WORD_CAP", 8)
+    hp._build_phase_b.cache_clear()
+    try:
+        ti, tj = hp.banded_adjacency_pallas(packed, bounds, 350)
+    finally:
+        hp._build_phase_b.cache_clear()
+    assert np.array_equal(hi, ti)
+    assert np.array_equal(hj, tj)

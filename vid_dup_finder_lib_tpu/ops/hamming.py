@@ -413,6 +413,18 @@ def banded_adjacency(
         return banded_adjacency_pallas(
             packed, bounds, tolerance_int, state=st
         )
+    if backend == "pallas_windowed":
+        # sliding +/-1 window over a packed-resident library: the path for
+        # libraries whose int8 +/-1 expansion exceeds HBM (>~12M hashes)
+        from .hamming_pallas import (
+            WindowedPallasState,
+            banded_adjacency_pallas,
+        )
+
+        st = WindowedPallasState(packed, bounds)
+        return banded_adjacency_pallas(
+            packed, bounds, tolerance_int, state=st
+        )
     if backend == "band":
         from .hamming_band import banded_adjacency_band
 

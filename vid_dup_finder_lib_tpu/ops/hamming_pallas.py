@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
+import time
 
 import numpy as np
 
@@ -70,13 +72,17 @@ def _is_tpu() -> bool:
 def _build_chunk(interpret: bool):
     """Compiled sweep of R_TILES row tiles x BAND_TILES column tiles.
 
-    scalars (int32[3 + 3 * R_TILES]):
+    scalars (int32[4 + 3 * R_TILES]):
       [0] tolerance, [1] n, [2] first row-tile index,
       [3 + i] first column-tile index for row tile i,
       [3 + R_TILES + i] min column bound over row tile i,
       [3 + 2*R_TILES + i] max row_lo over row tile i (incl. pad-row
       sentinels) — the two per-tile extrema drive the interior-tile fast
-      path that skips per-element masking.
+      path that skips per-element masking,
+      [3 + 3*R_TILES] window base in TILE_N units: row/col tile indices
+      above are RELATIVE to the resident +/-1 window (a sliding slice of
+      the library for n beyond HBM; 0 when the whole matrix is resident),
+      while the id masks need ABSOLUTE column ids.
 
     Each row's valid columns are [row_lo + 1, bounds): the self-search
     passes row_lo = the row's own global index (reproducing j > i), the
@@ -97,7 +103,7 @@ def _build_chunk(interpret: bool):
         j = pl.program_id(1)
         tol = scal_ref[0]
         n = scal_ref[1]
-        c0 = (scal_ref[3 + i] + j) * TILE_N
+        c0 = (scal_ref[3 + i] + j + scal_ref[3 + 3 * R_TILES]) * TILE_N
         # per-row-tile extrema (host-precomputed): tiles fully inside
         # every row's window skip the per-element masks — most tiles
         # are, and the masking VPU passes cost as much as the MXU dot.
@@ -310,6 +316,9 @@ def banded_adjacency_pallas_v4(
     import jax.numpy as jnp
 
     assert R_TILES == 1, "the v4 driver assumes single-row-tile launches"
+    assert not getattr(state, "windowed", False), (
+        "the v4 driver does not support windowed states"
+    )
     if interpret is None:
         interpret = not _is_tpu()
     n = packed.shape[0]
@@ -320,7 +329,7 @@ def banded_adjacency_pallas_v4(
         state = PallasSearchState(packed, bounds)
 
     fn = _build_chunk(interpret)
-    scal0 = jnp.zeros((3 + 3 * R_TILES,), jnp.int32)
+    scal0 = jnp.zeros((4 + 3 * R_TILES,), jnp.int32)
     compiled = fn.lower(
         scal0, state.pm1, state.bounds_dev, state.row_lo_dev
     ).compile()
@@ -384,9 +393,9 @@ def banded_adjacency_pallas_v4(
         packed_refs: list = []
         group_handles: list = []
         counts_buf: list = []
-        scal = np.zeros(3 + 3 * R_TILES, dtype=np.int32)
+        scal = np.zeros(4 + 3 * R_TILES, dtype=np.int32)
         for rt, ct0 in wlaunches:
-            scal[:] = (
+            scal[:6] = (
                 tolerance_int, n, rt, ct0,
                 int(state.min_bound[rt]), int(state.max_row_lo[rt]),
             )
@@ -449,7 +458,7 @@ def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
 
     @jax.jit
     def sweep(scalars_all, pm1, bounds, row_lo):
-        """scalars_all: int32[sweep_calls, 3 + 3*R_TILES] -> stacked outputs."""
+        """scalars_all: int32[sweep_calls, 4 + 3*R_TILES] -> stacked outputs."""
 
         def body(_, scal):
             packed, counts = chunk_fn(scal, pm1, bounds, row_lo)
@@ -463,6 +472,306 @@ def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
         return packed_all, counts_all
 
     return sweep
+
+
+@functools.cache
+def _build_chunk_counts(interpret: bool):
+    """Counts-only sweep chunk: the same tiling and window masks as
+    ``_build_chunk``, but the only output is ONE int32 match count per row
+    tile, accumulated across the BAND_TILES grid axis.
+
+    512 bytes of HBM writes per launch instead of ~1 MB of packed
+    adjacency, so hundreds of launches can stay in flight and count
+    fetches amortize arbitrarily; the rare launches that contain matches
+    are recomputed afterwards with the packing kernel (phase B of
+    ``banded_adjacency_pallas``).  Masks are applied unconditionally —
+    the VPU mask passes measured free next to the MXU dot.
+    """
+    from ..utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, row_lo_ref,
+               out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        tol = scal_ref[0]
+        n = scal_ref[1]
+        c0 = (scal_ref[3 + i] + j + scal_ref[3 + 3 * R_TILES]) * TILE_N
+
+        a = rows_ref[...]
+        b = cols_ref[...]
+        acc = jnp.int32 if PM_DTYPE == "int8" else jnp.float32
+        dot = jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        )
+        dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(acc)
+        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_N), 1)
+        row_lo = row_lo_ref[...]
+        col_limit = jnp.minimum(bounds_ref[...], n)
+        adj = (
+            (dot >= dot_thresh)
+            & (col_ids > row_lo)
+            & (col_ids < col_limit)
+        )
+        cnt = jnp.sum(adj.astype(jnp.int32))
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[...] = cnt + jnp.zeros((1, 128), jnp.int32)
+
+        @pl.when(j != 0)
+        def _acc():
+            out_ref[...] = out_ref[...] + cnt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R_TILES, BAND_TILES),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_M, HASH_BITS_PADDED),
+                lambda i, j, s: (s[2] + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_N, HASH_BITS_PADDED),
+                lambda i, j, s: (s[3 + i] + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_M, 1),
+                lambda i, j, s: (s[2] + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_M, 1),
+                lambda i, j, s: (s[2] + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 128),
+            lambda i, j, s: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    vmem_mb = int(os.environ.get("VDF_VMEM_LIMIT_MB", "96"))
+    compiler_params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
+    )
+
+    def one_launch(scalars, pm1, bounds, row_lo):
+        counts = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R_TILES, 128), jnp.int32),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(scalars, pm1, pm1, bounds, row_lo)
+        return counts[:, 0]  # all 128 lanes carry the same value
+
+    return jax.jit(one_launch)
+
+
+@functools.cache
+def _build_sweep_counts(interpret: bool, sweep_calls: int):
+    import jax
+
+    chunk_fn = _build_chunk_counts(interpret)
+
+    @jax.jit
+    def sweep(scalars_all, pm1, bounds, row_lo):
+        """int32[sweep_calls, 4 + 3*R_TILES] -> int32[sweep_calls, R_TILES]
+        per-row-tile match counts (the whole launch stripe summed)."""
+
+        def body(_, scal):
+            return None, chunk_fn(scal, pm1, bounds, row_lo)
+
+        _, counts_all = jax.lax.scan(body, None, scalars_all, unroll=8)
+        return counts_all
+
+    return sweep
+
+
+# phase-B word extraction: capacity of the sized nonzero over one
+# phase-B batch's packed adjacency words (each nonzero word holds >= 1
+# matching pair; overflow falls back to per-launch host extraction)
+EXTRACT_WORD_CAP = int(os.environ.get("VDF_EXTRACT_WORD_CAP", "16384"))
+PHASE_B_CALLS = 64
+
+
+@functools.cache
+def _build_phase_b(interpret: bool, sweep_calls: int):
+    """Packing sweep over the (rare) hit launches + fused word extraction.
+
+    One jit: scan the packing kernel over the hit launches, flatten every
+    packed adjacency word, sized-nonzero the nonzero WORDS (32x fewer
+    elements than bit-expansion — jnp.nonzero lowers to a sort), gather
+    their values, and return [loc | val | total] in one small array so a
+    phase-B batch costs a single dispatch and a single small fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    chunk_fn = _build_chunk(interpret)
+
+    @jax.jit
+    def run(scalars_all, pm1, bounds, row_lo):
+        def body(_, scal):
+            packed, _ = chunk_fn(scal, pm1, bounds, row_lo)
+            return None, packed
+
+        _, packed_all = jax.lax.scan(body, None, scalars_all, unroll=4)
+        flat = packed_all.reshape(-1)
+        nz = flat != 0
+        total = jnp.sum(nz.astype(jnp.int32))
+        loc = jnp.nonzero(nz, size=EXTRACT_WORD_CAP, fill_value=-1)[0]
+        loc = loc.astype(jnp.int32)
+        val = jnp.take(flat, jnp.maximum(loc, 0))
+        return jnp.concatenate([loc, val, total[None]])
+
+    return run
+
+
+def _decode_phase_b(
+    arr: np.ndarray,
+    sweep_calls: int,
+    batch: list[tuple[int, tuple[int, ...]]],
+    out_i: list[np.ndarray],
+    out_j: list[np.ndarray],
+) -> bool:
+    """Host decode of one phase-B result ([loc | val | total]): word
+    locations + values -> global (row, col) pairs appended to out_i/out_j.
+    Returns False on word-capacity overflow (caller falls back)."""
+    cap = EXTRACT_WORD_CAP
+    loc = arr[:cap]
+    val = arr[cap : 2 * cap].astype(np.int64) & 0xFFFFFFFF
+    total = int(arr[-1])
+    valid = loc >= 0
+    if total > int(valid.sum()):
+        return False
+    loc = loc[valid].astype(np.int64)
+    val = val[valid]
+    if loc.size == 0:
+        return True
+    # packed_all layout: [launch, R_TILES, BAND_TILES, TILE_M//32, TILE_N];
+    # bit b of word [k, i, j, r, c] = pair (row r*32+b, col c) of tile
+    # (i, j) of launch k
+    shape = (sweep_calls, R_TILES, BAND_TILES, TILE_M // 32, TILE_N)
+    k, i, j, r, c = np.unravel_index(loc, shape)
+    keep = k < len(batch)  # drop padding launches
+    k, i, j, r, c, val = (
+        k[keep], i[keep], j[keep], r[keep], c[keep], val[keep]
+    )
+    if k.size == 0:
+        return True
+    rt0s = np.array([b[0] for b in batch], dtype=np.int64)
+    cts = np.array([b[1] for b in batch], dtype=np.int64)
+    rbase = (rt0s[k] + i) * TILE_M + r * 32
+    cbase = (cts[k, i] + j) * TILE_N + c
+    bits = (val[:, None] >> np.arange(32, dtype=np.int64)[None, :]) & 1
+    ww, bb = np.nonzero(bits)
+    out_i.append(rbase[ww] + bb)
+    out_j.append(cbase[ww])
+    return True
+
+
+def _plan_launches(state) -> list[tuple[int, tuple[int, ...]]]:
+    """Enumerate every launch descriptor (first row tile, per-row-tile
+    first column tile), covering each row tile's whole duration band in
+    BAND_TILES stripes."""
+    launches: list[tuple[int, tuple[int, ...]]] = []
+    max_ct = state.max_ct
+    for chunk_idx in range(state.n_row_chunks):
+        rt0 = chunk_idx * R_TILES
+        rts = np.arange(rt0, rt0 + R_TILES)
+        remaining = state.n_ct[rts].copy()
+        starts = state.first_ct[rts].copy()
+        while np.any(remaining > 0):
+            # rows whose band is exhausted keep pointing past their band
+            # end (clamped in-bounds): the col_ids < bounds mask empties
+            # them.
+            cur = np.minimum(starts, max_ct - BAND_TILES).astype(np.int64)
+            launches.append((rt0, tuple(int(c) for c in cur)))
+            starts = starts + BAND_TILES
+            remaining = remaining - BAND_TILES
+    return launches
+
+
+def _gen_batches(state, launches, sweep_sizes):
+    """Yield (launch batch, window start row | None).
+
+    Resident states batch by count alone (largest precompiled size that
+    the remainder fills — padded launches run their full DMA+MXU work for
+    nothing).  Windowed states additionally cut a batch when its
+    row+band span would leave the resident +/-1 window."""
+    if not getattr(state, "windowed", False):
+        b0 = 0
+        while b0 < len(launches):
+            rem = len(launches) - b0
+            size = next(
+                (s for s in sweep_sizes if s <= rem), sweep_sizes[-1]
+            )
+            yield launches[b0 : b0 + size], None
+            b0 += min(size, rem)
+    else:
+        w_rows = state.window_rows
+        align = state.window_align
+        wmax = int(state.packed_dev.shape[0]) - w_rows
+        max_batch = sweep_sizes[0]
+        i = 0
+        while i < len(launches):
+            rt0, _ = launches[i]
+            w_start = min((rt0 * TILE_M // align) * align, wmax)
+            batch: list[tuple[int, tuple[int, ...]]] = []
+            while i < len(launches) and len(batch) < max_batch:
+                rt0, cts = launches[i]
+                end = max(
+                    (rt0 + R_TILES) * TILE_M,
+                    (max(cts) + BAND_TILES) * TILE_N,
+                )
+                if end - w_start > w_rows:
+                    break
+                batch.append(launches[i])
+                i += 1
+            assert batch, "single launch exceeds the window span"
+            yield batch, w_start
+
+
+def _fill_scalars(
+    scalars_all: np.ndarray,
+    batch: list[tuple[int, tuple[int, ...]]],
+    state,
+    tolerance_int: int,
+    n: int,
+    w_start: int | None,
+) -> None:
+    """Launch scalars for one batch; padding rows keep tol=-1 (impossible
+    threshold -> no matches)."""
+    w_tm = 0 if w_start is None else w_start // TILE_M
+    w_tn = 0 if w_start is None else w_start // TILE_N
+    scalars_all[:, 0] = -1
+    for k, (rt0, cts) in enumerate(batch):
+        scalars_all[k, 0] = tolerance_int
+        scalars_all[k, 1] = n
+        scalars_all[k, 2] = rt0 - w_tm
+        scalars_all[k, 3 : 3 + R_TILES] = tuple(c - w_tn for c in cts)
+        scalars_all[k, 3 + R_TILES : 3 + 2 * R_TILES] = state.min_bound[
+            rt0 : rt0 + R_TILES
+        ]
+        scalars_all[k, 3 + 2 * R_TILES : 3 + 3 * R_TILES] = (
+            state.max_row_lo[rt0 : rt0 + R_TILES]
+        )
+        scalars_all[k, 3 + 3 * R_TILES] = w_tn
 
 
 @functools.cache
@@ -510,6 +819,33 @@ def _tile_bits_to_pairs(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ).astype(bool)  # [TILE_M//32, 32, TILE_N]
     rr, bb, cc = np.nonzero(bits)
     return rr * 32 + bb, cc
+
+
+def _launch_metadata(
+    n: int, bounds: np.ndarray, n_row_chunks: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per row tile: first col tile of the band, number of col tiles, and
+    the window extrema driving the kernel's interior-tile fast path."""
+    n_tiles = n_row_chunks * R_TILES
+    first_ct = np.empty(n_tiles, dtype=np.int64)
+    n_ct = np.empty(n_tiles, dtype=np.int64)
+    min_bound = np.zeros(n_tiles, dtype=np.int64)
+    max_row_lo = np.full(n_tiles, _ROW_LO_SENTINEL, dtype=np.int64)
+    for rt in range(n_tiles):
+        r0 = rt * TILE_M
+        r1 = min(r0 + TILE_M, n)
+        if r0 >= n:
+            first_ct[rt] = 0
+            n_ct[rt] = 0
+            continue
+        c_end = int(bounds[r0:r1].max())
+        ct0 = (r0 + 1) // TILE_N
+        first_ct[rt] = ct0
+        n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
+        min_bound[rt] = min(int(bounds[r0:r1].min()), n)
+        if r1 == r0 + TILE_M:  # full tile: no pad-row sentinels
+            max_row_lo[rt] = r1 - 1
+    return first_ct, n_ct, min_bound, max_row_lo
 
 
 class PallasSearchState:
@@ -583,26 +919,8 @@ class PallasSearchState:
 
         # per row tile: first col tile of the band, number of col tiles,
         # and the window extrema (the kernel's interior-tile fast path)
-        first_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
-        n_ct = np.empty(n_row_chunks * R_TILES, dtype=np.int64)
-        min_bound = np.zeros(n_row_chunks * R_TILES, dtype=np.int64)
-        max_row_lo = np.full(
-            n_row_chunks * R_TILES, _ROW_LO_SENTINEL, dtype=np.int64
-        )
-        for rt in range(n_row_chunks * R_TILES):
-            r0 = rt * TILE_M
-            r1 = min(r0 + TILE_M, n)
-            if r0 >= n:
-                first_ct[rt] = 0
-                n_ct[rt] = 0
-                continue
-            c_end = int(bounds[r0:r1].max())
-            ct0 = (r0 + 1) // TILE_N
-            first_ct[rt] = ct0
-            n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
-            min_bound[rt] = min(int(bounds[r0:r1].min()), n)
-            if r1 == r0 + TILE_M:  # full tile: no pad-row sentinels
-                max_row_lo[rt] = r1 - 1
+        first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(n, bounds,
+                                                                 n_row_chunks)
         self.n = n
         self.n_pad = n_pad
         self.n_row_chunks = n_row_chunks
@@ -744,6 +1062,161 @@ class IncrementalDeviceLibrary:
         )
 
 
+@functools.cache
+def _window_build_jit(w_rows: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(packed_dev, bounds_full, row_lo_full, at):
+        pk = jax.lax.dynamic_slice(packed_dev, (at, 0), (w_rows, 32))
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        bits = (pk[:, :, None] >> shifts) & jnp.uint32(1)
+        pm = bits.astype(jnp.int8).reshape(w_rows, HASH_BITS_PADDED) * 2 - 1
+        if PM_DTYPE != "int8":
+            pm = pm.astype(jnp.bfloat16)
+        b = jax.lax.dynamic_slice(bounds_full, (at, 0), (w_rows, 1))
+        r = jax.lax.dynamic_slice(row_lo_full, (at, 0), (w_rows, 1))
+        return pm, b, r
+
+    return f
+
+
+class WindowedPallasState:
+    """Sliding-window search state: libraries beyond +/-1 HBM capacity.
+
+    The resident +/-1 operand matrix costs 1 KB/hash (int8 x 1024 bits),
+    capping a 16 GB v5e at ~12M hashes.  Here only the PACKED library
+    (128 B/hash) is fully device-resident; the +/-1 matrix exists for a
+    SLIDING row window.  The duration band is near-diagonal (sorted
+    durations), so every launch's rows AND its whole column band fit in a
+    window that is a small multiple of the widest band span.  The sweep
+    driver slides the window forward as its row cursor advances (each row
+    is unpacked ~window/(window-span) ~= 2 times in total — noise next to
+    the O(n * band) sweep) and passes window-RELATIVE tile indices to the
+    kernel; absolute column ids for the masks ride the wbase scalar.
+
+    Same driver contract as ``PallasSearchState``; requires R_TILES == 1.
+    """
+
+    windowed = True
+    uploaded_rows = None  # the streamed-upload path does not apply
+
+    def __init__(
+        self,
+        packed: np.ndarray | None,
+        bounds: np.ndarray,
+        n: int | None = None,
+        packed_dev=None,
+        window_rows: int | None = None,
+    ) -> None:
+        import jax.numpy as jnp
+
+        assert R_TILES == 1, "windowed sweeps assume single-row-tile chunks"
+        if n is None:
+            assert packed is not None
+            n = packed.shape[0]
+        bounds = np.asarray(bounds, dtype=np.int64)
+        n_row_tiles = -(-n // TILE_M)
+        n_row_chunks = -(-n_row_tiles // R_TILES)
+        n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+
+        if packed_dev is None:
+            packed_pad = np.zeros((n_pad, 32), dtype=np.uint32)
+            packed_pad[:n] = packed
+            packed_dev = jnp.asarray(packed_pad)
+        assert packed_dev.shape[0] >= n_pad
+        self.packed_dev = packed_dev
+
+        first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(
+            n, bounds, n_row_chunks
+        )
+
+        bounds_np = np.full((n_pad, 1), -1, dtype=np.int32)
+        bounds_np[:n, 0] = np.minimum(bounds, n)
+        self._bounds_full = jnp.asarray(bounds_np)
+        row_lo_np = np.full((n_pad, 1), _ROW_LO_SENTINEL, dtype=np.int32)
+        row_lo_np[:n, 0] = np.arange(n, dtype=np.int32)
+        self._row_lo_full = jnp.asarray(row_lo_np)
+
+        # window sizing: every single launch (one row tile + its whole
+        # BAND_TILES column stripe, anywhere in its band) must fit
+        self.window_align = int(np.lcm(TILE_M * R_TILES, TILE_N))
+        align = self.window_align
+        span = 0
+        for rt in range(n_row_chunks * R_TILES):
+            if n_ct[rt] <= 0:
+                continue
+            stripes = -(-int(n_ct[rt]) // BAND_TILES)
+            last_ct = int(first_ct[rt]) + (stripes - 1) * BAND_TILES
+            col_end = (last_ct + BAND_TILES) * TILE_N
+            w0 = (rt * TILE_M // align) * align
+            span = max(span, col_end - w0, (rt + 1) * TILE_M - w0)
+        min_w = -(-span // align) * align
+        if window_rows is None:
+            window_rows = 2 * min_w
+        w_rows = max(min_w, -(-int(window_rows) // align) * align)
+        self.window_rows = min(w_rows, -(-n_pad // align) * align)
+        # the device slice must stay in bounds: pad the packed matrix up
+        # to a whole number of windows past n_pad
+        need = -(-n_pad // align) * align + self.window_rows
+        if packed_dev.shape[0] < need:
+            pad = jnp.zeros(
+                (need - packed_dev.shape[0], 32), jnp.uint32
+            )
+            self.packed_dev = jnp.concatenate([packed_dev, pad], axis=0)
+        if self._bounds_full.shape[0] < need:
+            self._bounds_full = jnp.concatenate(
+                [
+                    self._bounds_full,
+                    jnp.full(
+                        (need - n_pad, 1), -1, jnp.int32
+                    ),
+                ],
+                axis=0,
+            )
+            self._row_lo_full = jnp.concatenate(
+                [
+                    self._row_lo_full,
+                    jnp.full(
+                        (need - n_pad, 1), _ROW_LO_SENTINEL, jnp.int32
+                    ),
+                ],
+                axis=0,
+            )
+
+        self.n = n
+        self.n_pad = n_pad
+        self.n_row_chunks = n_row_chunks
+        self.first_ct = first_ct
+        self.n_ct = n_ct
+        self.min_bound = min_bound
+        self.max_row_lo = max_row_lo
+        self.max_ct = (n_pad - TILE_N) // TILE_N
+        self.w0: int | None = None
+        self.pm1 = None
+        self.bounds_dev = None
+        self.row_lo_dev = None
+        self.rebuilds = 0
+
+    def move_window(self, w_start: int) -> None:
+        """Slide the resident +/-1 window to start at row ``w_start``
+        (window_align-aligned).  The caller must drain in-flight sweep
+        batches first — they hold references to the previous window."""
+        import jax.numpy as jnp
+
+        assert w_start % self.window_align == 0
+        fn = _window_build_jit(self.window_rows)
+        self.pm1, self.bounds_dev, self.row_lo_dev = fn(
+            self.packed_dev,
+            self._bounds_full,
+            self._row_lo_full,
+            jnp.int32(w_start),
+        )
+        self.w0 = w_start
+        self.rebuilds += 1
+
+
 def banded_adjacency_pallas(
     packed: np.ndarray | None,
     bounds: np.ndarray,
@@ -751,12 +1224,220 @@ def banded_adjacency_pallas(
     interpret: bool | None = None,
     state: PallasSearchState | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Banded adjacency sweep via the Pallas chunk kernel.
+    """Banded adjacency sweep via the Pallas chunk kernels (two-phase).
 
     Same contract as ``hamming.banded_adjacency``: all pairs (i, j) with
     i < j < bounds[i] and hamming <= tolerance_int, lexicographic order.
     Pass a prebuilt ``state`` to skip the upload/unpack setup (``packed``
-    may then be None — the incremental-library path).
+    may then be None — the incremental-library and windowed paths).
+
+    Phase A sweeps the whole band with the counts-only kernel (512 B of
+    HBM output per launch instead of ~1 MB of packed adjacency), so
+    hundreds of launches stay in flight and count fetches cost O(1)
+    tunnel round-trips per VDF_COUNTS_INFLIGHT batches.  Phase B re-runs
+    only the launches that contain matches with the packing kernel and
+    extracts pair indices word-wise in one fused jit + one small fetch
+    per hit batch.  VDF_SWEEP_SCHEME=onepass selects the previous
+    single-pass driver for comparison.
+    """
+    import jax.numpy as jnp
+
+    if os.environ.get("VDF_SWEEP_SCHEME") == "onepass":
+        return _banded_adjacency_onepass(
+            packed, bounds, tolerance_int, interpret, state
+        )
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    n = packed.shape[0] if state is None else state.n
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    if state is None:
+        state = PallasSearchState(packed, bounds)
+
+    sweep_sizes = (8,) if interpret else tuple(
+        sorted(set(SWEEP_SIZES), reverse=True)
+    )
+    launches = _plan_launches(state)
+
+    dbg = os.environ.get("VDF_SWEEP_DEBUG") == "1"
+    ph = {"dispatch": 0.0, "stream": 0.0, "drain": 0.0, "phase_b": 0.0,
+          "drains": 0, "batches": 0, "hits": 0}
+    is_windowed = getattr(state, "windowed", False)
+    counts_inflight = int(os.environ.get("VDF_COUNTS_INFLIGHT", "256"))
+
+    hit_launches: list[tuple[int, tuple[int, ...]]] = []
+    pending: list[tuple[list, object]] = []
+
+    def drain_pending() -> None:
+        if not pending:
+            return
+        t0 = time.perf_counter()
+        ph["drains"] += 1
+        flat = np.asarray(
+            jnp.concatenate([c.reshape(-1) for (_, c) in pending])
+        )
+        off = 0
+        for batch, counts in pending:
+            size = int(np.prod(counts.shape))
+            cnp = flat[off : off + size].reshape(counts.shape)
+            off += size
+            for k in np.nonzero(cnp.sum(axis=1) > 0)[0]:
+                if int(k) < len(batch):
+                    hit_launches.append(batch[int(k)])
+        pending.clear()
+        ph["drain"] += time.perf_counter() - t0
+
+    # Phase A: counts-only sweep over every launch.
+    pm1 = state.pm1
+    bounds_dev = state.bounds_dev
+    for batch, w_start in _gen_batches(state, launches, sweep_sizes):
+        sweep_calls = next(
+            (s for s in sorted(sweep_sizes) if s >= len(batch)),
+            sweep_sizes[0],
+        )
+        counts_fn = _build_sweep_counts(interpret, sweep_calls)
+        if is_windowed:
+            if w_start != state.w0:
+                # no drain needed: XLA keeps the previous window buffer
+                # alive until its queued launches finish, and execution
+                # is in-order, so at most ~two windows are resident
+                t0 = time.perf_counter()
+                state.move_window(w_start)
+                ph["stream"] += time.perf_counter() - t0
+            pm1 = state.pm1
+            bounds_dev = state.bounds_dev
+        if state.uploaded_rows is not None:
+            # streamed build: h2d overlaps the counts sweep
+            need = 0
+            for rt0, cts in batch:
+                need = max(
+                    need,
+                    (rt0 + R_TILES) * TILE_M,
+                    (max(cts) + BAND_TILES) * TILE_N,
+                )
+            t0 = time.perf_counter()
+            state.ensure_rows(need)
+            ph["stream"] += time.perf_counter() - t0
+            pm1 = state.pm1
+        scalars_all = np.zeros((sweep_calls, 4 + 3 * R_TILES), np.int32)
+        _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
+        t0 = time.perf_counter()
+        counts = counts_fn(
+            jnp.asarray(scalars_all), pm1, bounds_dev, state.row_lo_dev
+        )
+        ph["dispatch"] += time.perf_counter() - t0
+        ph["batches"] += 1
+        pending.append((batch, counts))
+        if interpret or len(pending) >= counts_inflight:
+            drain_pending()
+    drain_pending()
+    ph["hits"] = len(hit_launches)
+
+    # Phase B: re-run only the hit launches with the packing kernel;
+    # fetch nothing until every phase-B batch is dispatched.
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    t_b0 = time.perf_counter()
+    pb_sizes = (8,) if interpret else (PHASE_B_CALLS, 16)
+    results: list[tuple[object, int, list]] = []
+    for batch, w_start in _gen_batches(state, hit_launches, pb_sizes):
+        sweep_calls = next(
+            (s for s in sorted(pb_sizes) if s >= len(batch)), pb_sizes[0]
+        )
+        run = _build_phase_b(interpret, sweep_calls)
+        if is_windowed:
+            if w_start != state.w0:
+                state.move_window(w_start)
+            pm1 = state.pm1
+            bounds_dev = state.bounds_dev
+        scalars_all = np.zeros((sweep_calls, 4 + 3 * R_TILES), np.int32)
+        _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
+        out = run(
+            jnp.asarray(scalars_all), pm1, bounds_dev, state.row_lo_dev
+        )
+        results.append((out, sweep_calls, batch, w_start))
+    for out, sweep_calls, batch, w_start in results:
+        arr = np.asarray(out)
+        if not _decode_phase_b(arr, sweep_calls, batch, out_i, out_j):
+            # word capacity exceeded (rare): per-launch host fallback
+            _phase_b_fallback(
+                state, batch, tolerance_int, n, interpret, out_i, out_j
+            )
+    ph["phase_b"] = time.perf_counter() - t_b0
+
+    if dbg:
+        print(
+            "# sweep phases: "
+            + " ".join(
+                f"{k}={v:.3f}s" if isinstance(v, float) else f"{k}={v}"
+                for k, v in ph.items()
+            ),
+            file=sys.stderr,
+        )
+
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    order = np.lexsort((jj, ii))
+    return ii[order], jj[order]
+
+
+def _phase_b_fallback(
+    state,
+    batch: list[tuple[int, tuple[int, ...]]],
+    tolerance_int: int,
+    n: int,
+    interpret: bool,
+    out_i: list[np.ndarray],
+    out_j: list[np.ndarray],
+) -> None:
+    """Word-capacity overflow path: re-run each launch singly with the
+    packing kernel, fetch its packed tiles wholesale, and bit-extract on
+    host.  Only reached when one phase-B batch holds more than
+    EXTRACT_WORD_CAP matching words."""
+    import jax.numpy as jnp
+
+    fn = _build_chunk(interpret)
+    is_windowed = getattr(state, "windowed", False)
+    for rt0, cts in batch:
+        w_start = None
+        if is_windowed:
+            align = state.window_align
+            wmax = int(state.packed_dev.shape[0]) - state.window_rows
+            w_start = min((rt0 * TILE_M // align) * align, wmax)
+            if w_start != state.w0:
+                state.move_window(w_start)
+        scal = np.zeros((1, 4 + 3 * R_TILES), np.int32)
+        _fill_scalars(scal, [(rt0, cts)], state, tolerance_int, n, w_start)
+        packed_t, _ = fn(
+            jnp.asarray(scal[0]), state.pm1, state.bounds_dev,
+            state.row_lo_dev,
+        )
+        tiles = np.asarray(packed_t)
+        for i in range(R_TILES):
+            for j in range(BAND_TILES):
+                roff, coff = _tile_bits_to_pairs(tiles[i, j])
+                out_i.append(roff.astype(np.int64) + (rt0 + i) * TILE_M)
+                out_j.append(coff.astype(np.int64) + (cts[i] + j) * TILE_N)
+
+
+def _banded_adjacency_onepass(
+    packed: np.ndarray | None,
+    bounds: np.ndarray,
+    tolerance_int: int,
+    interpret: bool | None = None,
+    state: PallasSearchState | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-pass driver: the packing kernel sweeps the whole band,
+    writing packed adjacency for EVERY tile (~1 MB/launch held in flight).
+
+    Superseded as the default by the two-phase driver in
+    ``banded_adjacency_pallas`` (counts-only sweep + hit-launch repack),
+    whose in-flight state is 512 B/launch; kept selectable
+    (VDF_SWEEP_SCHEME=onepass) as a comparison point and fallback.
     """
     import jax.numpy as jnp
 
@@ -772,10 +1453,6 @@ def banded_adjacency_pallas(
         state = PallasSearchState(packed, bounds)
     pm1 = state.pm1
     bounds_dev = state.bounds_dev
-    n_row_chunks = state.n_row_chunks
-    first_ct = state.first_ct
-    n_ct = state.n_ct
-    max_ct = state.max_ct
 
     # small scan batches in interpret mode (tests): padded launches are
     # pure waste there, and the jit wrapper is re-traced anyway
@@ -783,21 +1460,7 @@ def banded_adjacency_pallas(
         sorted(set(SWEEP_SIZES), reverse=True)
     )
 
-    # Phase 1: enumerate every launch descriptor
-    # (first row tile, per-row-tile first col tile).
-    launches: list[tuple[int, tuple[int, ...]]] = []
-    for chunk_idx in range(n_row_chunks):
-        rt0 = chunk_idx * R_TILES
-        rts = np.arange(rt0, rt0 + R_TILES)
-        remaining = n_ct[rts].copy()
-        starts = first_ct[rts].copy()
-        while np.any(remaining > 0):
-            # rows whose band is exhausted keep pointing past their band end
-            # (clamped in-bounds): the col_ids < bounds mask empties them.
-            cur = np.minimum(starts, max_ct - BAND_TILES).astype(np.int64)
-            launches.append((rt0, tuple(int(c) for c in cur)))
-            starts = starts + BAND_TILES
-            remaining = remaining - BAND_TILES
+    launches = _plan_launches(state)
 
     # Phase 2: run launches in fixed-size scan batches (one jit call per
     # SWEEP_CALLS launches — per-launch Python dispatch costs more than the
@@ -806,6 +1469,9 @@ def banded_adjacency_pallas(
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     hit_tiles: list[tuple[object, int, int]] = []
+    dbg = os.environ.get("VDF_SWEEP_DEBUG") == "1"
+    ph = {"dispatch": 0.0, "stream": 0.0, "drain": 0.0, "extract": 0.0,
+          "drains": 0, "batches": 0}
 
     def process_counts(batch, counts_np, packed_all) -> None:
         for k, i, j in zip(*np.nonzero(counts_np > 0)):
@@ -833,6 +1499,8 @@ def banded_adjacency_pallas(
     def drain_inflight() -> None:
         if not inflight:
             return
+        t0 = time.perf_counter()
+        ph["drains"] += 1
         flat = np.asarray(
             jnp.concatenate(
                 [c.reshape(-1) for (_, _, c) in inflight]
@@ -845,18 +1513,26 @@ def banded_adjacency_pallas(
             off += size
             process_counts(batch, counts_np, packed_all)
         inflight.clear()
+        ph["drain"] += time.perf_counter() - t0
 
-    b0 = 0
-    while b0 < len(launches):
-        rem = len(launches) - b0
-        # smallest precompiled batch that fits the remainder: padded
-        # launches run their full DMA+MXU work for nothing
+    is_windowed = getattr(state, "windowed", False)
+
+    for batch, w_start in _gen_batches(state, launches, sweep_sizes):
+        # smallest precompiled batch size that fits this batch
         sweep_calls = next(
-            (s for s in sweep_sizes if s <= rem), sweep_sizes[-1]
+            (s for s in sorted(sweep_sizes) if s >= len(batch)),
+            sweep_sizes[0],
         )
         sweep_fn = _build_sweep(interpret, sweep_calls)
-        batch = launches[b0 : b0 + sweep_calls]
-        b0 += len(batch)
+        if is_windowed:
+            if w_start != state.w0:
+                # in-flight batches read the previous window buffers
+                drain_inflight()
+                t0 = time.perf_counter()
+                state.move_window(w_start)
+                ph["stream"] += time.perf_counter() - t0
+            pm1 = state.pm1
+            bounds_dev = state.bounds_dev
         if state.uploaded_rows is not None:
             # streamed build: make this batch's rows AND column window
             # resident before dispatching; later rows keep uploading
@@ -868,27 +1544,20 @@ def banded_adjacency_pallas(
                     (rt0 + R_TILES) * TILE_M,
                     (max(cts) + BAND_TILES) * TILE_N,
                 )
+            t0 = time.perf_counter()
             state.ensure_rows(need)
+            ph["stream"] += time.perf_counter() - t0
             pm1 = state.pm1
         scalars_all = np.zeros(
-            (sweep_calls, 3 + 3 * R_TILES), dtype=np.int32
+            (sweep_calls, 4 + 3 * R_TILES), dtype=np.int32
         )
-        # padding rows keep tol=-1: dot >= 1026 is impossible, no matches
-        scalars_all[:, 0] = -1
-        for k, (rt0, cts) in enumerate(batch):
-            scalars_all[k, 0] = tolerance_int
-            scalars_all[k, 1] = n
-            scalars_all[k, 2] = rt0
-            scalars_all[k, 3 : 3 + R_TILES] = cts
-            scalars_all[k, 3 + R_TILES : 3 + 2 * R_TILES] = (
-                state.min_bound[rt0 : rt0 + R_TILES]
-            )
-            scalars_all[k, 3 + 2 * R_TILES :] = (
-                state.max_row_lo[rt0 : rt0 + R_TILES]
-            )
+        _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
+        t0 = time.perf_counter()
         packed_all, counts_all = sweep_fn(
             jnp.asarray(scalars_all), pm1, bounds_dev, state.row_lo_dev
         )
+        ph["dispatch"] += time.perf_counter() - t0
+        ph["batches"] += 1
         if interpret:
             # emulated buffers: process eagerly, no windowing
             process_counts(
@@ -902,6 +1571,7 @@ def banded_adjacency_pallas(
 
     # Phase 3: batched index-only extraction of all hit tiles (device
     # stacks + one sized nonzero + one small index fetch per round).
+    t_extract0 = time.perf_counter()
     _, _, extract_tiles = _v4_jits()
     zero_tile = jnp.zeros((TILE_M // 32, TILE_N), jnp.int32)
     for s0 in range(0, len(hit_tiles), EXTRACT_ROUND):
@@ -930,6 +1600,15 @@ def banded_adjacency_pallas(
         )
         out_i.append(rbases[hh] + rr.astype(np.int64) * 32 + bb)
         out_j.append(cbases[hh] + cc.astype(np.int64))
+
+    if dbg:
+        ph["extract"] = time.perf_counter() - t_extract0
+        print(
+            "# sweep phases: "
+            + " ".join(f"{k}={v:.3f}s" if isinstance(v, float) else f"{k}={v}"
+                       for k, v in ph.items()),
+            file=sys.stderr,
+        )
 
     if not out_i:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)

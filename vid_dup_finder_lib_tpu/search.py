@@ -150,7 +150,17 @@ class Search:
         tol = _tolerance_int(tolerance)
 
         use_adjacency = backend != "naive" and (
-            backend in ("device", "host", "pallas", "native", "band", "ring")
+            backend
+            in (
+                "device",
+                "host",
+                "pallas",
+                "pallas_streamed",
+                "pallas_windowed",
+                "native",
+                "band",
+                "ring",
+            )
             or n >= _DEVICE_SEARCH_THRESHOLD
         )
         if use_adjacency:
