@@ -68,16 +68,28 @@ def main() -> None:
         + (hp.BAND_TILES + 1) * hp.TILE_N
     )
     t0 = time.time()
-    packed_dev = jax.random.bits(
-        jax.random.key(0), (n_pad, 32), dtype=jnp.uint32
-    )
-    packed_dev = packed_dev.at[:, -1].set(
-        packed_dev[:, -1] & jnp.uint32(0xFF)
-    )
+
+    # one fused jit (mask via broadcast &, not .at copies) and a DONATED
+    # scatter: at 4M+ the extra whole-library copies of the naive version
+    # stacked on top of the +/-1 matrix and OOM'd the 16 GB HBM
+    import functools
+
+    @jax.jit
+    def gen(key):
+        p = jax.random.bits(key, (n_pad, 32), dtype=jnp.uint32)
+        mask = jnp.concatenate(
+            [
+                jnp.full((31,), 0xFFFFFFFF, jnp.uint32),
+                jnp.full((1,), 0xFF, jnp.uint32),
+            ]
+        )
+        return p & mask[None, :]
+
+    packed_dev = gen(jax.random.key(0))
 
     if plant:
         # fetch the seed rows (one small d2h), build noisy copies on host,
-        # scatter them back (one jit)
+        # scatter them back in place (donated buffer)
         seeds = np.asarray(
             jnp.take(packed_dev, jnp.asarray(starts), axis=0)
         )
@@ -90,8 +102,15 @@ def main() -> None:
                     h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
                 rows.append(h)
                 idxs.append(s + k)
-        packed_dev = packed_dev.at[jnp.asarray(np.array(idxs))].set(
-            jnp.asarray(np.stack(rows))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scatter(p, idx, new_rows):
+            return p.at[idx].set(new_rows)
+
+        packed_dev = scatter(
+            packed_dev,
+            jnp.asarray(np.array(idxs)),
+            jnp.asarray(np.stack(rows)),
         )
     packed_dev.block_until_ready()
     print(f"# device library gen: {time.time() - t0:.3f}s")

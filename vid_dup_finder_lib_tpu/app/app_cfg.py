@@ -50,6 +50,7 @@ class GuiOutputCfg:
     sorting: Sorting = Sorting.NUM_MATCHES
     trash_path: Optional[str] = None
     max_thumbs: Optional[int] = None
+    web_port: Optional[int] = None  # --gui-web: browser front end
 
 
 @dataclass(frozen=True)

@@ -373,9 +373,20 @@ def do_app_outputs(
         search_output.sort(thumbs.sorting, cache)
         search_output.save_debug_imgs(thumbs.thumbs_dir)
 
-    if cfg.output_cfg.gui.enabled:
-        # the reference's optional Slint GUI, re-imagined as a TTY
-        # carousel over the same resolution engine
+    if cfg.output_cfg.gui.web_port is not None:
+        # the reference's optional Slint GUI, re-imagined as a local
+        # browser app over the same resolution engine
+        from .resolver_web import run_resolver_web
+
+        search_output.sort(cfg.output_cfg.gui.sorting, cache)
+        run_resolver_web(
+            list(search_output.dup_groups()),
+            cache=cache,
+            trash_dir=cfg.output_cfg.gui.trash_path,
+            port=cfg.output_cfg.gui.web_port,
+        )
+    elif cfg.output_cfg.gui.enabled:
+        # ... or as a TTY carousel (--gui-slint maps here)
         from .resolver_tui import run_resolver
 
         search_output.sort(cfg.output_cfg.gui.sorting, cache)

@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "via vid_dup_finder_lib_tpu.app.resolution)")
     p.add_argument("--gui-trash-path", default=None, metavar="DIR")
     p.add_argument("--gui-max-thumbs", default=None, type=int)
+    p.add_argument("--gui-web", nargs="?", const=8917, default=None,
+                   type=int, metavar="PORT",
+                   help="Serve the browser-based resolver on PORT "
+                        "(default 8917) — this build's windowed front "
+                        "end over the same resolution engine.")
 
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--verbose", action="store_true")
@@ -205,6 +210,7 @@ def parse_args(argv: list[str] | None = None) -> AppCfg:
                 sorting=sorting,
                 trash_path=ns.gui_trash_path,
                 max_thumbs=ns.gui_max_thumbs,
+                web_port=ns.gui_web,
             ),
             cartesian_product=ns.cartesian,
         ),

@@ -22,6 +22,8 @@ since all values are small integers).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..definitions import HASH_BITS_PADDED
@@ -438,8 +440,21 @@ def banded_adjacency(
     # auto
     try:
         if _on_tpu():
-            from .hamming_pallas import banded_adjacency_pallas
+            from .hamming_pallas import (
+                WindowedPallasState,
+                banded_adjacency_pallas,
+            )
 
+            # above this size the fully-resident int8 +/-1 matrix
+            # (1 KB/hash) crowds HBM: slide a window instead
+            threshold = int(
+                os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
+            )
+            if packed.shape[0] >= threshold:
+                st = WindowedPallasState(packed, bounds)
+                return banded_adjacency_pallas(
+                    packed, bounds, tolerance_int, state=st
+                )
             return banded_adjacency_pallas(packed, bounds, tolerance_int)
         return banded_adjacency_device(packed, bounds, tolerance_int)
     except Exception:
