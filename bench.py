@@ -16,7 +16,10 @@ extrapolated).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: VDF_BENCH_N (library size, default 1_000_000),
-VDF_BENCH_BACKEND (pallas|pallas4|band|device|host, default auto).
+VDF_BENCH_BACKEND (pallas|pallas4|band|device|host, default auto),
+VDF_SWEEP_DEBUG=1 (sweep phase breakdown to stderr).  Larger-N scale
+points (device-born library, sliding-window operands) come from
+``tools/probe_sweep.py``.
 """
 
 from __future__ import annotations

@@ -94,7 +94,7 @@ from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
 from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
 from test_windowed import _random_library
 
-assert (hp.TILE_M, hp.TILE_N, hp.BAND_TILES) == (64, 128, 2)
+assert (hp.TILE_M, hp.TILE_N, hp.BAND_TILES) == (128, 256, 2)
 rng = np.random.default_rng(11)
 packed, bounds = _random_library(3000, rng)
 hi, hj = banded_adjacency_host(packed, bounds, 350)
@@ -113,8 +113,8 @@ def test_windowed_rebuilds_tiny_tiles():
     many times and still reproduce the host pairs exactly."""
     env = dict(os.environ)
     env.update(
-        VDF_TILE_M="64",
-        VDF_TILE_N="128",
+        VDF_TILE_M="128",
+        VDF_TILE_N="256",
         VDF_BAND_TILES="2",
         JAX_PLATFORMS="cpu",
     )

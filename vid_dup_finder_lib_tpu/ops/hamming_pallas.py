@@ -513,7 +513,7 @@ def _build_chunk_counts(interpret: bool):
         )
         dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(acc)
         col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_N), 1)
-        row_lo = row_lo_ref[...]
+        row_lo = row_lo_ref[...]  # [TILE_M, 1]
         col_limit = jnp.minimum(bounds_ref[...], n)
         adj = (
             (dot >= dot_thresh)
@@ -691,6 +691,22 @@ def _plan_launches(state) -> list[tuple[int, tuple[int, ...]]]:
     BAND_TILES stripes."""
     launches: list[tuple[int, tuple[int, ...]]] = []
     max_ct = state.max_ct
+    clamp = int(max_ct - BAND_TILES)
+    if R_TILES == 1:
+        # fast path: plain-int loop (2.8M launches at 16M hashes — the
+        # per-stripe NumPy ops of the general path cost ~10x more)
+        first_ct = state.first_ct
+        n_ct = state.n_ct
+        for rt in range(state.n_row_chunks):
+            nc = int(n_ct[rt])
+            if nc <= 0:
+                continue
+            ct0 = int(first_ct[rt])
+            launches.extend(
+                (rt, (min(ct0 + s, clamp),))
+                for s in range(0, nc, BAND_TILES)
+            )
+        return launches
     for chunk_idx in range(state.n_row_chunks):
         rt0 = chunk_idx * R_TILES
         rts = np.arange(rt0, rt0 + R_TILES)
@@ -700,7 +716,7 @@ def _plan_launches(state) -> list[tuple[int, tuple[int, ...]]]:
             # rows whose band is exhausted keep pointing past their band
             # end (clamped in-bounds): the col_ids < bounds mask empties
             # them.
-            cur = np.minimum(starts, max_ct - BAND_TILES).astype(np.int64)
+            cur = np.minimum(starts, clamp).astype(np.int64)
             launches.append((rt0, tuple(int(c) for c in cur)))
             starts = starts + BAND_TILES
             remaining = remaining - BAND_TILES
@@ -729,20 +745,32 @@ def _gen_batches(state, launches, sweep_sizes):
         wmax = int(state.packed_dev.shape[0]) - w_rows
         max_batch = sweep_sizes[0]
         i = 0
+        w_start: int | None = None
         while i < len(launches):
-            rt0, _ = launches[i]
-            w_start = min((rt0 * TILE_M // align) * align, wmax)
             batch: list[tuple[int, tuple[int, ...]]] = []
-            while i < len(launches) and len(batch) < max_batch:
-                rt0, cts = launches[i]
-                end = max(
-                    (rt0 + R_TILES) * TILE_M,
-                    (max(cts) + BAND_TILES) * TILE_N,
-                )
-                if end - w_start > w_rows:
+            for _attempt in range(2):
+                while i < len(launches) and len(batch) < max_batch:
+                    rt0, cts = launches[i]
+                    end = max(
+                        (rt0 + R_TILES) * TILE_M,
+                        (max(cts) + BAND_TILES) * TILE_N,
+                    )
+                    if (
+                        w_start is None
+                        or rt0 * TILE_M < w_start
+                        or end - w_start > w_rows
+                    ):
+                        break
+                    batch.append(launches[i])
+                    i += 1
+                if batch or i >= len(launches):
                     break
-                batch.append(launches[i])
-                i += 1
+                # current window exhausted: reposition it at this
+                # launch's chunk (the window is REUSED across batches
+                # until then — repositioning per batch would force a
+                # drain + rebuild every few thousand rows)
+                rt0, _ = launches[i]
+                w_start = min((rt0 * TILE_M // align) * align, wmax)
             assert batch, "single launch exceeds the window span"
             yield batch, w_start
 
@@ -760,18 +788,21 @@ def _fill_scalars(
     w_tm = 0 if w_start is None else w_start // TILE_M
     w_tn = 0 if w_start is None else w_start // TILE_N
     scalars_all[:, 0] = -1
-    for k, (rt0, cts) in enumerate(batch):
-        scalars_all[k, 0] = tolerance_int
-        scalars_all[k, 1] = n
-        scalars_all[k, 2] = rt0 - w_tm
-        scalars_all[k, 3 : 3 + R_TILES] = tuple(c - w_tn for c in cts)
-        scalars_all[k, 3 + R_TILES : 3 + 2 * R_TILES] = state.min_bound[
-            rt0 : rt0 + R_TILES
-        ]
-        scalars_all[k, 3 + 2 * R_TILES : 3 + 3 * R_TILES] = (
-            state.max_row_lo[rt0 : rt0 + R_TILES]
-        )
-        scalars_all[k, 3 + 3 * R_TILES] = w_tn
+    k = len(batch)
+    rt0s = np.fromiter((b[0] for b in batch), np.int64, count=k)
+    cts = np.array([b[1] for b in batch], dtype=np.int64).reshape(
+        k, R_TILES
+    )
+    scalars_all[:k, 0] = tolerance_int
+    scalars_all[:k, 1] = n
+    scalars_all[:k, 2] = rt0s - w_tm
+    scalars_all[:k, 3 : 3 + R_TILES] = cts - w_tn
+    idx = rt0s[:, None] + np.arange(R_TILES)
+    scalars_all[:k, 3 + R_TILES : 3 + 2 * R_TILES] = state.min_bound[idx]
+    scalars_all[:k, 3 + 2 * R_TILES : 3 + 3 * R_TILES] = (
+        state.max_row_lo[idx]
+    )
+    scalars_all[:k, 3 + 3 * R_TILES] = w_tn
 
 
 @functools.cache
@@ -1071,12 +1102,37 @@ def _window_build_jit(w_rows: int):
     def f(packed_dev, bounds_full, row_lo_full, at):
         pk = jax.lax.dynamic_slice(packed_dev, (at, 0), (w_rows, 32))
         shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-        bits = (pk[:, :, None] >> shifts) & jnp.uint32(1)
-        pm = bits.astype(jnp.int8).reshape(w_rows, HASH_BITS_PADDED) * 2 - 1
-        if PM_DTYPE != "int8":
-            pm = pm.astype(jnp.bfloat16)
-        b = jax.lax.dynamic_slice(bounds_full, (at, 0), (w_rows, 1))
-        r = jax.lax.dynamic_slice(row_lo_full, (at, 0), (w_rows, 1))
+
+        # unpack in chunks under lax.scan: the dynamic_slice is a fusion
+        # barrier, so an unchunked bit-expansion MATERIALIZES a
+        # u32[w, 32, 32] temp — 11 GB at a 3M-row window
+        import math
+
+        chunk = math.gcd(w_rows, 1024)
+
+        def body(_, pkc):
+            bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
+            pm_c = (
+                bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2
+                - 1
+            )
+            if PM_DTYPE != "int8":
+                pm_c = pm_c.astype(jnp.bfloat16)
+            return None, pm_c
+
+        _, pm = jax.lax.scan(body, None, pk.reshape(-1, chunk, 32))
+        pm = pm.reshape(w_rows, HASH_BITS_PADDED)
+        # full-library row metadata is stored [n_pad//128, 128] (row r at
+        # [r//128, r%128]): a [n, 1] int32 device array gets lane-padded
+        # 128x by TPU tiling (T(1,128)) — ~10 GB per array at 16M hashes.
+        # Only the WINDOW is expanded to the [w, 1] layout the kernel
+        # blocks expect (an XLA reshape, outside Pallas).
+        b = jax.lax.dynamic_slice(
+            bounds_full, (at // 128, 0), (w_rows // 128, 128)
+        ).reshape(w_rows, 1)
+        r = jax.lax.dynamic_slice(
+            row_lo_full, (at // 128, 0), (w_rows // 128, 128)
+        ).reshape(w_rows, 1)
         return pm, b, r
 
     return f
@@ -1132,17 +1188,18 @@ class WindowedPallasState:
             n, bounds, n_row_chunks
         )
 
-        bounds_np = np.full((n_pad, 1), -1, dtype=np.int32)
-        bounds_np[:n, 0] = np.minimum(bounds, n)
-        self._bounds_full = jnp.asarray(bounds_np)
-        row_lo_np = np.full((n_pad, 1), _ROW_LO_SENTINEL, dtype=np.int32)
-        row_lo_np[:n, 0] = np.arange(n, dtype=np.int32)
-        self._row_lo_full = jnp.asarray(row_lo_np)
+        bounds_np = np.full(n_pad, -1, dtype=np.int32)
+        bounds_np[:n] = np.minimum(bounds, n)
+        row_lo_np = np.full(n_pad, _ROW_LO_SENTINEL, dtype=np.int32)
+        row_lo_np[:n] = np.arange(n, dtype=np.int32)
 
         # window sizing: every single launch (one row tile + its whole
         # BAND_TILES column stripe, anywhere in its band) must fit
         self.window_align = int(np.lcm(TILE_M * R_TILES, TILE_N))
         align = self.window_align
+        # the compact [rows//128, 128] metadata packing needs 128-aligned
+        # row counts (n_pad and every window size are align-multiples)
+        assert align % 128 == 0 and n_pad % 128 == 0
         span = 0
         for rt in range(n_row_chunks * R_TILES):
             if n_ct[rt] <= 0:
@@ -1165,25 +1222,18 @@ class WindowedPallasState:
                 (need - packed_dev.shape[0], 32), jnp.uint32
             )
             self.packed_dev = jnp.concatenate([packed_dev, pad], axis=0)
-        if self._bounds_full.shape[0] < need:
-            self._bounds_full = jnp.concatenate(
-                [
-                    self._bounds_full,
-                    jnp.full(
-                        (need - n_pad, 1), -1, jnp.int32
-                    ),
-                ],
-                axis=0,
+        if bounds_np.size < need:
+            bounds_np = np.concatenate(
+                [bounds_np, np.full(need - n_pad, -1, np.int32)]
             )
-            self._row_lo_full = jnp.concatenate(
+            row_lo_np = np.concatenate(
                 [
-                    self._row_lo_full,
-                    jnp.full(
-                        (need - n_pad, 1), _ROW_LO_SENTINEL, jnp.int32
-                    ),
-                ],
-                axis=0,
+                    row_lo_np,
+                    np.full(need - n_pad, _ROW_LO_SENTINEL, np.int32),
+                ]
             )
+        self._bounds_full = jnp.asarray(bounds_np.reshape(-1, 128))
+        self._row_lo_full = jnp.asarray(row_lo_np.reshape(-1, 128))
 
         self.n = n
         self.n_pad = n_pad
@@ -1201,11 +1251,16 @@ class WindowedPallasState:
 
     def move_window(self, w_start: int) -> None:
         """Slide the resident +/-1 window to start at row ``w_start``
-        (window_align-aligned).  The caller must drain in-flight sweep
-        batches first — they hold references to the previous window."""
+        (window_align-aligned).  The caller must ensure no launches are
+        still in flight against the previous window (drain counts /
+        block on the last dispatch) — otherwise BOTH windows stay live
+        in HBM and large libraries OOM during the rebuild."""
         import jax.numpy as jnp
 
         assert w_start % self.window_align == 0
+        # release our references first so the allocator can reuse the
+        # previous window's pages for the new one
+        self.pm1 = self.bounds_dev = self.row_lo_dev = None
         fn = _window_build_jit(self.window_rows)
         self.pm1, self.bounds_dev, self.row_lo_dev = fn(
             self.packed_dev,
@@ -1300,9 +1355,11 @@ def banded_adjacency_pallas(
         counts_fn = _build_sweep_counts(interpret, sweep_calls)
         if is_windowed:
             if w_start != state.w0:
-                # no drain needed: XLA keeps the previous window buffer
-                # alive until its queued launches finish, and execution
-                # is in-order, so at most ~two windows are resident
+                # drain first: it blocks until the queued launches against
+                # the previous window finish, so the old and new window
+                # buffers never coexist in HBM (counts drains are cheap —
+                # one small fetch)
+                drain_pending()
                 t0 = time.perf_counter()
                 state.move_window(w_start)
                 ph["stream"] += time.perf_counter() - t0
@@ -1349,6 +1406,9 @@ def banded_adjacency_pallas(
         run = _build_phase_b(interpret, sweep_calls)
         if is_windowed:
             if w_start != state.w0:
+                if results:
+                    # finish in-flight phase-B work against the old window
+                    results[-1][0].block_until_ready()
                 state.move_window(w_start)
             pm1 = state.pm1
             bounds_dev = state.bounds_dev
@@ -1680,8 +1740,9 @@ class _RefsState(PallasSearchState):
         self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
         self.pm1.block_until_ready()
 
-        bounds_dev_np = bounds_full.astype(np.int32)[:, None]
-        self.bounds_dev = jnp.asarray(bounds_dev_np)
+        self.bounds_dev = jnp.asarray(
+            bounds_full.astype(np.int32)[:, None]
+        )
         self.row_lo_dev = jnp.asarray(
             row_lo_full.astype(np.int32)[:, None]
         )
