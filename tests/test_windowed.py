@@ -83,6 +83,29 @@ def test_windowed_search_groups_match_host():
     assert expected  # the planted clones must actually group
 
 
+def test_incremental_library_windowed_state():
+    """Appending rows then searching through a WINDOWED state must match
+    the host sweep (the large-library flavor of the incremental path)."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        IncrementalDeviceLibrary,
+        banded_adjacency_pallas,
+    )
+
+    rng = np.random.default_rng(17)
+    packed, bounds = _random_library(600, rng)
+    lib = IncrementalDeviceLibrary(capacity=1024)
+    lib.append(packed[:250])
+    lib.append(packed[250:])
+    # library rows are already duration-sorted here: identity order
+    st = lib.state(np.arange(600), bounds, windowed=True)
+    assert getattr(st, "windowed", False)
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    wi, wj = banded_adjacency_pallas(None, bounds, 350, state=st)
+    assert np.array_equal(hi, wi)
+    assert np.array_equal(hj, wj)
+
+
 _CHILD = r"""
 import os, sys
 import numpy as np

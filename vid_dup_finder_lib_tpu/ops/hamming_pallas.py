@@ -1070,17 +1070,28 @@ class IncrementalDeviceLibrary:
         )
         self.n += k
 
-    def state(self, order: np.ndarray, bounds: np.ndarray) -> PallasSearchState:
+    def state(
+        self,
+        order: np.ndarray,
+        bounds: np.ndarray,
+        windowed: bool | None = None,
+    ) -> "PallasSearchState | WindowedPallasState":
         """Duration-sorted search state for the current library.
 
         ``order``: permutation (insertion index per sorted position, the
         host's (duration, path) sort); ``bounds``: per sorted row, the
-        exclusive upper bound of its duration window.
+        exclusive upper bound of its duration window.  ``windowed``
+        defaults to the VDF_WINDOWED_THRESHOLD auto rule (sliding +/-1
+        window above ~3M rows instead of the 1 KB/hash resident matrix).
         """
         import jax.numpy as jnp
 
         n = int(len(order))
         assert n <= self.n
+        if windowed is None:
+            windowed = n >= int(
+                os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
+            )
         n_row_tiles = -(-n // TILE_M)
         n_row_chunks = -(-n_row_tiles // R_TILES)
         n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
@@ -1088,9 +1099,8 @@ class IncrementalDeviceLibrary:
         idx[:n] = np.asarray(order, dtype=np.int32)
         _, gather_rows = _incremental_jits()
         packed_sorted = gather_rows(self._packed, jnp.asarray(idx))
-        return PallasSearchState(
-            None, bounds, n=n, packed_dev=packed_sorted
-        )
+        cls = WindowedPallasState if windowed else PallasSearchState
+        return cls(None, bounds, n=n, packed_dev=packed_sorted)
 
 
 @functools.cache
