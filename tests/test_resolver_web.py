@@ -115,6 +115,51 @@ def test_bad_expression_and_bad_routes(server):
         assert e.code == 404
 
 
+def _post_raw(url, headers, data):
+    req = urllib.request.Request(
+        url, data=data, headers=headers, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_cross_origin_and_negative_indices_rejected(server):
+    """Mutating endpoints move/delete files: forged cross-origin posts
+    (hostile Origin, or no-cors text/plain) and negative indices must be
+    refused without touching anything."""
+    base, app, a, b, _ = server
+    body = json.dumps({"g": 0, "expr": "0"}).encode()
+
+    assert _post_raw(
+        base + "/api/resolve",
+        {"Content-Type": "application/json",
+         "Origin": "http://evil.example"},
+        body,
+    ) == 403
+    assert _post_raw(
+        base + "/api/resolve", {"Content-Type": "text/plain"}, body
+    ) == 403
+    # same-origin Origin (what the served page itself sends) is allowed
+    host = base[len("http://"):]
+    assert _post_raw(
+        base + "/api/open",
+        {"Content-Type": "application/json", "Origin": f"http://{host}"},
+        json.dumps({"g": 0, "e": 0}).encode(),
+    ) == 200
+
+    status, _res = _post(base + "/api/resolve", {"g": -1, "expr": "0"})
+    assert status == 400
+    try:
+        _get(base + "/thumb?g=-1&e=0")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    assert all(os.path.exists(p) for p in a + b)  # nothing was trashed
+
+
 def test_thumb_endpoint_serves_jpeg_for_real_video(server, tmp_path):
     """Point a thunk at a real decodable fixture video: /thumb must
     return an image/jpeg strip; non-videos 404 as undecodable."""

@@ -113,6 +113,9 @@ def main() -> None:
             jnp.asarray(np.stack(rows)),
         )
     packed_dev.block_until_ready()
+    # force completion with a d2h fetch: block_until_ready can return
+    # early through the dev tunnel and make this timing an illusion
+    int(np.asarray(packed_dev[0, 0]))
     print(f"# device library gen: {time.time() - t0:.3f}s")
 
     t0 = time.time()
@@ -128,6 +131,7 @@ def main() -> None:
     else:
         state = hp.PallasSearchState(None, bounds, n=n, packed_dev=packed_dev)
         state.pm1.block_until_ready()
+        int(np.asarray(state.pm1[0, 0]))  # force completion (tunnel)
     print(f"# state build: {time.time() - t0:.3f}s")
     print(
         f"# n={n} comps={comps:.4g} TILE_M={hp.TILE_M} TILE_N={hp.TILE_N} "

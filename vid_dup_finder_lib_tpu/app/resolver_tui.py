@@ -42,11 +42,19 @@ THUMB_CACHE_SIZE = 50  # entries, like the GUI's LruCache (lru_cache.rs:31)
 
 class ThumbLruCache:
     """Rendered-thumbnail LRU, keyed by (path, mtime) so an edited file
-    re-renders (the GUI's 50-entry LruCache, lru_cache.rs:28-73)."""
+    re-renders (the GUI's 50-entry LruCache, lru_cache.rs:28-73).
 
-    def __init__(self, capacity: int = THUMB_CACHE_SIZE) -> None:
+    Generic over the rendered value: the TUI stores ANSI line lists
+    (default ``render``), the web resolver JPEG strip bytes.  Failed
+    renders are cached as None so a broken file is not re-decoded on
+    every view."""
+
+    def __init__(
+        self, capacity: int = THUMB_CACHE_SIZE, render=None
+    ) -> None:
         self._cap = capacity
-        self._d: OrderedDict[tuple[str, int], list[str]] = OrderedDict()
+        self._render = render if render is not None else _ansi_thumb
+        self._d: OrderedDict[tuple[str, int], object] = OrderedDict()
         self._lock = threading.Lock()
 
     def _key(self, path: str) -> tuple[str, int]:
@@ -56,7 +64,7 @@ class ThumbLruCache:
             mtime = -1
         return (path, mtime)
 
-    def get(self, path: str) -> list[str] | None:
+    def get(self, path: str):
         k = self._key(path)
         with self._lock:
             if k in self._d:
@@ -64,21 +72,26 @@ class ThumbLruCache:
                 return self._d[k]
         return None
 
-    def put(self, path: str, lines: list[str]) -> None:
+    def put(self, path: str, value) -> None:
         k = self._key(path)
         with self._lock:
-            self._d[k] = lines
+            self._d[k] = value
             self._d.move_to_end(k)
             while len(self._d) > self._cap:
                 self._d.popitem(last=False)
 
-    def get_or_render(self, path: str) -> list[str]:
-        cached = self.get(path)
-        if cached is not None:
-            return cached
-        lines = _ansi_thumb(path)
-        self.put(path, lines)
-        return lines
+    def get_or_render(self, path: str):
+        k = self._key(path)
+        with self._lock:
+            if k in self._d:  # membership, not value: None is cached too
+                self._d.move_to_end(k)
+                return self._d[k]
+        try:
+            value = self._render(path)
+        except Exception:
+            value = None
+        self.put(path, value)
+        return value
 
     def __len__(self) -> int:
         with self._lock:
@@ -271,7 +284,9 @@ class ResolverTui:
             if self.stats and os.path.exists(p):
                 self._println("        " + quality_stats(p))
             if self.thumbs and os.path.exists(p):
-                for line in self.thumb_cache.get_or_render(p):
+                for line in (
+                    self.thumb_cache.get_or_render(p) or ["<undecodable>"]
+                ):
                     self._println("        " + line)
         if self.thumbs and gi + 1 < len(self.thunks):
             # render the next group's thumbnails in the background while

@@ -26,12 +26,16 @@ from __future__ import annotations
 import json
 import os
 import threading
-from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from .resolution_thunk import ResolutionThunk
-from .resolver_tui import PlayerThread, quality_stats
+from .resolver_tui import (
+    PlayerThread,
+    Prerenderer,
+    ThumbLruCache,
+    quality_stats,
+)
 
 THUMB_FRAMES = 3  # <= 3 thumbs per strip (prerender.rs:115)
 THUMB_FRAME_STEP = 8  # frames stepped by 8 (prerender.rs:112)
@@ -70,44 +74,10 @@ def _thumb_strip_jpeg(path: str) -> bytes | None:
     return bytes(buf) if ok else None
 
 
-class JpegThumbCache:
-    """LRU of rendered JPEG strips keyed by (path, mtime), so an edited
-    file re-renders (lru_cache.rs:28-73 semantics)."""
-
-    def __init__(self, capacity: int = THUMB_CACHE_SIZE) -> None:
-        self._cap = capacity
-        self._d: OrderedDict[tuple[str, int], bytes | None] = OrderedDict()
-        self._lock = threading.Lock()
-
-    def _key(self, path: str) -> tuple[str, int]:
-        try:
-            mtime = int(os.stat(path).st_mtime)
-        except OSError:
-            mtime = -1
-        return (path, mtime)
-
-    def get_or_render(self, path: str) -> bytes | None:
-        k = self._key(path)
-        with self._lock:
-            if k in self._d:
-                self._d.move_to_end(k)
-                return self._d[k]
-        data = None
-        try:
-            data = _thumb_strip_jpeg(path)
-        except Exception:
-            pass
-        with self._lock:
-            self._d[k] = data
-            self._d.move_to_end(k)
-            while len(self._d) > self._cap:
-                self._d.popitem(last=False)
-        return data
-
-
 class ResolverWebApp:
     """State shared by the request handlers: the thunk carousel, thumb
-    cache + prerenderer, player thread, and an action log."""
+    cache + prerenderer (shared with the TUI front end), player thread,
+    and an action log."""
 
     def __init__(
         self,
@@ -115,7 +85,11 @@ class ResolverWebApp:
         player: PlayerThread | None = None,
     ) -> None:
         self.thunks = thunks
-        self.thumbs = JpegThumbCache()
+        # the TUI's (path, mtime)-keyed LRU, rendering JPEG strips here
+        self.thumbs = ThumbLruCache(
+            capacity=THUMB_CACHE_SIZE, render=_thumb_strip_jpeg
+        )
+        self._prerender = Prerenderer(self.thumbs)
         self.player = player or PlayerThread()
         self.lock = threading.Lock()  # resolve actions are serialized
         self.log: list[str] = []
@@ -160,18 +134,14 @@ class ResolverWebApp:
 
     def prerender_next(self, gi: int) -> None:
         """Render the NEXT group's strips in the background while the
-        user looks at this one (prerender.rs behavior)."""
+        user looks at this one (prerender.rs behavior; the shared
+        Prerenderer tracks in-flight paths so repeated navigation can't
+        pile up duplicate decode threads on this 1-core host)."""
         if gi + 1 >= len(self.thunks):
             return
-        paths = [
-            p for p in self.thunks[gi + 1].entries if os.path.exists(p)
-        ]
-
-        def work() -> None:
-            for p in paths:
-                self.thumbs.get_or_render(p)
-
-        threading.Thread(target=work, daemon=True).start()
+        self._prerender.request(
+            [p for p in self.thunks[gi + 1].entries if os.path.exists(p)]
+        )
 
     def resolve(self, gi: int, expr: str) -> tuple[bool, list[str]]:
         with self.lock:
@@ -226,6 +196,9 @@ _PAGE = """<!doctype html>
 <main><div id="entries"></div><div id="log"></div></main>
 <script>
 let gi = 0, state = null;
+function esc(s){
+  return String(s).replace(/[&<>"']/g, c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+}
 async function render(){
   const s = document.getElementById('stats').checked ? '&stats=1' : '';
   state = await (await fetch(`/api/state?g=${gi}${s}`)).json();
@@ -241,18 +214,20 @@ async function render(){
     d.className = 'entry' + (e.trashed ? ' trashed' : '');
     d.innerHTML = `<div class="idx">${e.idx}</div>`
       + (e.exists ? `<img loading="lazy" src="/thumb?g=${gi}&e=${e.idx}" alt="">` : '')
-      + `<div class="meta"><div class="path">${e.path}`
+      + `<div class="meta"><div class="path">${esc(e.path)}`
       + (e.trashed ? ' <span class="badge">[trashed]</span>' : '')
       + `</div><div>${e.size_mb != null ? e.size_mb + ' MB' : '&lt;gone&gt;'}`
       + (e.duration != null ? ` &middot; ${e.duration}s` : '') + `</div>`
-      + (e.stats ? `<div class="stats">${e.stats}</div>` : '')
+      + (e.stats ? `<div class="stats">${esc(e.stats)}</div>` : '')
       + `<button onclick="openIn(${e.idx})">open in player</button></div>`;
     box.appendChild(d);
   }
   document.getElementById('log').textContent = state.log.join('\\n');
 }
-function nav(d){ gi = ((gi + d) % state.n_groups + state.n_groups) % state.n_groups; render(); }
-function jump(){ const k = parseInt(document.getElementById('groupno').value); if(k >= 1 && k <= state.n_groups){ gi = k - 1; render(); } }
+function nav(d){ if(!state || !state.n_groups) return;
+  gi = ((gi + d) % state.n_groups + state.n_groups) % state.n_groups; render(); }
+function jump(){ if(!state || !state.n_groups) return;
+  const k = parseInt(document.getElementById('groupno').value); if(k >= 1 && k <= state.n_groups){ gi = k - 1; render(); } }
 async function resolve(){
   const expr = document.getElementById('expr').value.trim();
   if(!expr) return;
@@ -274,6 +249,16 @@ document.addEventListener('keydown', ev => {
 render();
 </script></body></html>
 """
+
+
+def _index(val, limit: int) -> int:
+    """Parse a non-negative index below ``limit`` (negative values must
+    NOT fall through to Python's negative indexing — a request for
+    group -1 would act on the LAST group)."""
+    i = int(val)
+    if not 0 <= i < limit:
+        raise IndexError(val)
+    return i
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -300,15 +285,19 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/":
             self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
         elif url.path == "/api/state":
-            gi = int(q.get("g", ["0"])[0])
+            try:
+                gi = int(q.get("g", ["0"])[0])
+            except ValueError:
+                self._json(400, {"error": "bad group index"})
+                return
             self._json(
                 200, self.app.state(gi, with_stats="stats" in q)
             )
             self.app.prerender_next(gi)
         elif url.path == "/thumb":
             try:
-                t = self.app.thunks[int(q["g"][0])]
-                path = t.entries[int(q["e"][0])]
+                t = self.app.thunks[_index(q["g"][0], len(self.app.thunks))]
+                path = t.entries[_index(q["e"][0], len(t.entries))]
             except (KeyError, ValueError, IndexError):
                 self._json(404, {"error": "no such entry"})
                 return
@@ -320,8 +309,26 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": "not found"})
 
+    def _reject_cross_origin(self) -> bool:
+        """Mutating endpoints drive file moves/deletes: refuse requests a
+        hostile web page could forge.  A cross-origin fetch either sends
+        an Origin that is not this server, or (no-cors) cannot set
+        Content-Type: application/json — both are rejected."""
+        origin = self.headers.get("Origin")
+        host = self.headers.get("Host", "")
+        if origin is not None and origin != f"http://{host}":
+            self._json(403, {"error": "cross-origin request rejected"})
+            return True
+        ctype = self.headers.get("Content-Type", "")
+        if ctype.split(";")[0].strip() != "application/json":
+            self._json(403, {"error": "expected application/json"})
+            return True
+        return False
+
     def do_POST(self) -> None:  # noqa: N802
         url = urlparse(self.path)
+        if self._reject_cross_origin():
+            return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             body = json.loads(self.rfile.read(length) or b"{}")
@@ -330,9 +337,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if url.path == "/api/resolve":
             try:
-                gi = int(body["g"])
+                gi = _index(body["g"], len(self.app.thunks))
                 expr = str(body["expr"])
-                self.app.thunks[gi]
             except (KeyError, ValueError, IndexError, TypeError):
                 self._json(400, {"error": "bad group or expression"})
                 return
@@ -340,8 +346,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200 if ok else 400, {"ok": ok, "actions": actions})
         elif url.path == "/api/open":
             try:
-                t = self.app.thunks[int(body["g"])]
-                path = t.entries[int(body["e"])]
+                t = self.app.thunks[_index(body["g"], len(self.app.thunks))]
+                path = t.entries[_index(body["e"], len(t.entries))]
             except (KeyError, ValueError, IndexError, TypeError):
                 self._json(400, {"error": "bad group or entry"})
                 return

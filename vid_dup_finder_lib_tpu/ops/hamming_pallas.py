@@ -1368,8 +1368,10 @@ def banded_adjacency_pallas(
                 # drain first: it blocks until the queued launches against
                 # the previous window finish, so the old and new window
                 # buffers never coexist in HBM (counts drains are cheap —
-                # one small fetch)
+                # one small fetch).  The local aliases must drop too, or
+                # they alone keep the old window alive.
                 drain_pending()
+                pm1 = bounds_dev = None
                 t0 = time.perf_counter()
                 state.move_window(w_start)
                 ph["stream"] += time.perf_counter() - t0
@@ -1419,6 +1421,7 @@ def banded_adjacency_pallas(
                 if results:
                     # finish in-flight phase-B work against the old window
                     results[-1][0].block_until_ready()
+                pm1 = bounds_dev = None
                 state.move_window(w_start)
             pm1 = state.pm1
             bounds_dev = state.bounds_dev
@@ -1598,6 +1601,7 @@ def _banded_adjacency_onepass(
             if w_start != state.w0:
                 # in-flight batches read the previous window buffers
                 drain_inflight()
+                pm1 = bounds_dev = None
                 t0 = time.perf_counter()
                 state.move_window(w_start)
                 ph["stream"] += time.perf_counter() - t0
