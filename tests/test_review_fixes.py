@@ -1,0 +1,139 @@
+"""Regression tests for review findings (round 2): error-path and
+edge-case behavior of the thunk engine, fps policy, CLI exit codes,
+digest tagging, and the parallel walker."""
+
+import os
+import threading
+import time
+
+import pytest
+
+from vid_dup_finder_lib_tpu.match_group import MatchGroup
+
+
+def _mkfiles(tmp_path, names):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    out = []
+    for i, n in enumerate(names):
+        p = tmp_path / n
+        p.write_bytes(b"x" + bytes([i]))
+        out.append(str(p))
+    return out
+
+
+def test_out_of_range_as_at_index_is_valueerror(tmp_path):
+    """'0 as 9' in a 2-entry group must raise the ValueError the front
+    ends catch (not IndexError) and must not trash anything first."""
+    from vid_dup_finder_lib_tpu.app.resolution_thunk import ResolutionThunk
+
+    a = _mkfiles(tmp_path / "a", ["x.mp4", "y.mp4"])
+    t = ResolutionThunk.from_matchgroup(
+        MatchGroup.new(a), trash_dir=str(tmp_path / "trash")
+    )
+    with pytest.raises(ValueError):
+        t.resolve("0 as 9")
+    with pytest.raises(ValueError):
+        t.resolve("0 at 9")
+    assert all(os.path.exists(p) for p in a)  # nothing was trashed
+
+
+def test_two_second_video_saturates_fps(monkeypatch, tmp_path):
+    """duration == 2.0 s: the reference's f64 division yields inf and the
+    `as u64` cast saturates (video_hash_builder.rs:146); the port must
+    mirror that instead of raising ZeroDivisionError."""
+    from vid_dup_finder_lib_tpu.models import builder
+
+    vid = tmp_path / "v.mp4"
+    vid.write_bytes(b"notavideo")
+    monkeypatch.setattr(builder, "get_duration", lambda p: 2.0)
+    cfg = builder.build_frame_reader(
+        str(vid), builder.DEFAULT_CREATION_OPTIONS
+    )
+    num, den = cfg.fps
+    assert num == 2**64 - 1
+    assert den == 16384
+
+
+def test_run_app_string_systemexit_returns_2(capsys):
+    """expand_args_file raises SystemExit with a MESSAGE; run_app must
+    report it and return exit code 2, not crash in int()."""
+    from vid_dup_finder_lib_tpu.app.app_fns import run_app
+
+    rc = run_app(["--args-file"])
+    assert rc == 2
+    assert "args-file" in capsys.readouterr().err
+
+    rc = run_app(["--args-file", "/nonexistent/args.txt"])
+    assert rc == 2
+
+
+def test_digest_tagging_and_legacy_compat(tmp_path):
+    from vid_dup_finder_lib_tpu.cache.file_content_cache import (
+        canonical_digest,
+        hash_file_contents,
+    )
+
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"hello")
+    d = hash_file_contents(str(p))
+    alg, _, hx = d.partition(":")
+    assert alg in ("blake3", "blake2b") and len(hx) == 64
+    # legacy bare-hex entries normalize to the current algorithm
+    assert canonical_digest(hx) == d
+    assert canonical_digest(d) == d
+    # a digest tagged with a DIFFERENT algorithm can never match
+    assert canonical_digest("otheralgo:" + hx) != d
+
+
+def test_fix_moved_files_with_legacy_bare_digest(tmp_path):
+    """A match db whose stored content digest predates the algo tag must
+    still re-link moved files."""
+    from vid_dup_finder_lib_tpu.app.match_db import MatchDb
+    from vid_dup_finder_lib_tpu.cache.file_content_cache import (
+        hash_file_contents,
+    )
+
+    old = tmp_path / "vids" / "a.mp4"
+    old.parent.mkdir()
+    old.write_bytes(b"samecontent")
+    b = tmp_path / "vids" / "b.mp4"
+    b.write_bytes(b"other")
+
+    db = MatchDb(str(tmp_path / "db"))
+    db.insert_confirmed_pair(str(old), str(b))
+    # simulate a legacy cache entry: strip the algorithm tag
+    db.content_hashes[str(old)] = hash_file_contents(str(old)).rpartition(
+        ":"
+    )[2]
+
+    moved = tmp_path / "vids" / "moved.mp4"
+    os.rename(old, moved)
+    fixed = db.fix_moved_files([str(moved), str(b)])
+    assert fixed == 1
+    assert db.confirmed.contains(str(moved))
+
+
+def test_walker_threads_exit_when_consumer_abandons(tmp_path):
+    """Breaking out of iterate_from_fs early (bounded queue full) must
+    not leave walker threads blocked forever."""
+    from vid_dup_finder_lib_tpu.cache.filename_pattern import (
+        FilenamePattern,
+    )
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(5000):  # > the queue bound of 4096
+        (d / f"f{i:05}.mp4").write_bytes(b"")
+    pat = FilenamePattern([str(d)])
+
+    before = threading.active_count()
+    it = pat.iterate_from_fs()
+    next(it)
+    it.close()  # abandon with the queue full
+
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "walker threads leaked"

@@ -40,7 +40,19 @@ def run_app(argv: list[str] | None = None) -> int:
     try:
         cfg = parse_args(argv)
     except SystemExit as e:
-        return int(e.code or 0)
+        # argparse exits with an int; expand_args_file raises SystemExit
+        # with a message string — print it and use exit code 2 (what
+        # argparse uses for usage errors)
+        if e.code is None:
+            return 0
+        if isinstance(e.code, int):
+            return e.code
+        print(e.code, file=sys.stderr)
+        return 2
+    except OSError as e:
+        # e.g. an unreadable --args-file
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     configure_logs(cfg.verbosity.value)
     try:
         run_app_inner(cfg)

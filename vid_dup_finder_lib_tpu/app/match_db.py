@@ -131,11 +131,15 @@ class MatchDb:
     def fix_moved_files(self, candidate_paths: Iterable[str]) -> int:
         """Re-link db entries whose file moved, by content-digest equality
         (match_db.rs:709-758)."""
+        from ..cache.file_content_cache import canonical_digest
+
         digest_to_new = {}
         for p in candidate_paths:
             if os.path.exists(p):
                 try:
-                    digest_to_new[self.content_cache.fetch(p)] = p
+                    digest_to_new[
+                        canonical_digest(self.content_cache.fetch(p))
+                    ] = p
                 except Exception:
                     pass
         fixed = 0
@@ -143,7 +147,11 @@ class MatchDb:
             p for p in self.confirmed.items() if not os.path.exists(p)
         ]:
             digest = self.content_hashes.get(old)
-            new = digest_to_new.get(digest) if digest else None
+            new = (
+                digest_to_new.get(canonical_digest(digest))
+                if digest
+                else None
+            )
             if new and new != old and not self.confirmed.contains(new):
                 self.confirmed.rename(old, new)
                 self.content_hashes[new] = self.content_hashes.pop(old)

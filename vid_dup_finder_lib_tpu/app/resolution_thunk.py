@@ -79,16 +79,15 @@ class ResolutionThunk:
             return [self._untrash(self.entries[keep])]
 
         keep_path = self.entries[keep]
-        new_name = (
-            os.path.basename(self.entries[int(as_s)]) if as_s else None
-        )
+        # validate BEFORE indexing: entries[9] on a 3-entry group must be
+        # the ValueError the front ends catch, not an IndexError
+        new_name = new_dir = None
         if as_s:
             self._check_idx(int(as_s))
-        new_dir = (
-            os.path.dirname(self.entries[int(at_s)]) if at_s else None
-        )
+            new_name = os.path.basename(self.entries[int(as_s)])
         if at_s:
             self._check_idx(int(at_s))
+            new_dir = os.path.dirname(self.entries[int(at_s)])
 
         log = []
         # trash everything except the keeper

@@ -3,8 +3,10 @@
 Equivalent of the reference's blake3-keyed ``FileContentCache``
 (``…/file_hash_filesystem_cache.rs:39-237``), used by the match database to
 re-link files that moved on disk.  The digest is blake3 when the module is
-available, else hashlib's blake2b (recorded per entry so mixed caches stay
-consistent).
+available, else hashlib's blake2b; digests are stored "algo:hex" so a
+cache written where blake3 exists read where it doesn't is an explicit
+algorithm mismatch (the entry refreshes) rather than a silent never-equal
+comparison.  Legacy bare-hex entries are treated as the current algorithm.
 """
 
 from __future__ import annotations
@@ -18,15 +20,8 @@ try:
     import blake3  # type: ignore
 
     _ALGO = "blake3"
-
-    def _digest(data: bytes) -> str:
-        return blake3.blake3(data).hexdigest()
-
 except ImportError:
     _ALGO = "blake2b"
-
-    def _digest(data: bytes) -> str:
-        return hashlib.blake2b(data, digest_size=32).hexdigest()
 
 
 def hash_file_contents(path: str) -> str:
@@ -41,7 +36,14 @@ def hash_file_contents(path: str) -> str:
             if not chunk:
                 break
             h.update(chunk)
-    return h.hexdigest()
+    return f"{_ALGO}:{h.hexdigest()}"
+
+
+def canonical_digest(d: str) -> str:
+    """Normalize to "algo:hex" (legacy bare-hex entries predate the tag
+    and are attributed to the CURRENT algorithm): digest comparisons and
+    lookups must go through this so mixed old/new caches keep matching."""
+    return d if ":" in d else f"{_ALGO}:{d}"
 
 
 class FileContentCache:

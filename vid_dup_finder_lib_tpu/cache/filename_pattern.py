@@ -62,12 +62,28 @@ class FilenamePattern:
         if not dir_roots:
             return
 
+        import queue as queue_mod
+        import threading
+
         q: Queue = Queue(maxsize=4096)
         _SENTINEL = object()
+        # abandoned consumer (generator closed / caller broke out):
+        # without this flag, workers block forever on the full bounded
+        # queue and every early exit leaks the whole walker pool
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def walk_root(root: str) -> None:
             stack = [root]
-            while stack:
+            while stack and not stop.is_set():
                 d = stack.pop()
                 try:
                     with os.scandir(d) as it:
@@ -81,7 +97,8 @@ class FilenamePattern:
                                         stack.append(entry.path)
                                 elif entry.is_file(follow_symlinks=False):
                                     if self.includes_path(entry.path):
-                                        q.put(entry.path)
+                                        if not _put(entry.path):
+                                            return
                             except OSError:
                                 continue
                 except OSError:
@@ -92,18 +109,19 @@ class FilenamePattern:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     list(pool.map(walk_root, dir_roots))
             finally:
-                q.put(_SENTINEL)
-
-        import threading
+                _put(_SENTINEL)
 
         t = threading.Thread(target=run_all, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+            t.join()
+        finally:
+            stop.set()
 
 
 def _is_under(path: str, prefix: str) -> bool:

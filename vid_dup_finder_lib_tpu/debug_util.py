@@ -15,7 +15,6 @@ import numpy as np
 from .models.builder import (
     CreationOptions,
     build_frame_reader,
-    crop_video_frames,
     detect_crop,
     iterate_video_frames,
 )
@@ -36,8 +35,14 @@ def dump_hash_frames(
     os.makedirs(out_dir, exist_ok=True)
     cfg = build_frame_reader(src_path, options)
     frames = iterate_video_frames(cfg)
+    # detect once and apply directly (crop_video_frames would re-run the
+    # detection — for Cropdetect.MOTION that is the expensive host step)
     crop = detect_crop(frames, options.cropdetect)
-    cropped = crop_video_frames(frames, options.cropdetect)
+    if crop is None:
+        cropped = frames
+    else:
+        x, y, w, h = crop.as_view_args()
+        cropped = [f[y : y + h, x : x + w] for f in frames]
 
     written = []
     for i, (raw, c) in enumerate(zip(frames, cropped)):

@@ -84,7 +84,10 @@ class VideoInfo:
         width = int((first_video or {}).get("width", 0) or 0)
         height = int((first_video or {}).get("height", 0) or 0)
 
-        # rotation-aware swap (ffmpeg_stats.rs:94-114)
+        # rotation-aware swap (ffmpeg_stats.rs:94-114).  Like the
+        # reference (ffmpeg_stats.rs:122 reads side_data_list[0] only),
+        # a Display Matrix listed after other side data is missed —
+        # mirrored deliberately for parity.
         rotation = 0
         if first_video:
             side = (first_video.get("side_data_list") or [{}])[0]

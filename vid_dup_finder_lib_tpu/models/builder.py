@@ -15,6 +15,7 @@ its quirks (SURVEY.md section 7.4):
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass
 
@@ -64,7 +65,10 @@ def build_frame_reader(
         fps = 64.0
         seek_amount = 0.0
     elif vid_duration < max_hash_duration:
-        fps = 64.0 / (vid_duration - 2.0)
+        # duration exactly 2.0 gives fps = inf (Rust f64 division);
+        # Python float division would raise ZeroDivisionError instead
+        denom = vid_duration - 2.0
+        fps = 64.0 / denom if denom > 0.0 else math.inf
         seek_amount = 0.0
     elif vid_duration < max_seek_amount + max_hash_duration:
         fps = 64.0 / max_hash_duration
@@ -73,7 +77,15 @@ def build_frame_reader(
         fps = 64.0 / max_hash_duration
         seek_amount = max_seek_amount
 
-    cfg.set_fps((int(fps * 16384.0), 16384))
+    raw = fps * 16384.0
+    # Rust's `as u64` cast saturates (video_hash_builder.rs:146): a video
+    # of exactly 2.0 s makes fps infinite and the reference carries
+    # u64::MAX instead of crashing — mirror that, don't divide-by-zero
+    if math.isfinite(raw) and raw < 2.0**64:
+        fps_num = max(0, int(raw))
+    else:
+        fps_num = 2**64 - 1
+    cfg.set_fps((fps_num, 16384))
     if seek_amount > 0.0:
         cfg.set_start_offset(seek_amount)
     return cfg

@@ -149,6 +149,12 @@ def _get_device_fns():
     _DEVICE_FNS = {
         "block_kernel": jax.jit(block_kernel),
         "unpack_pm1": jax.jit(unpack_pm1),
+        # jitted ONCE: a per-call jax.jit(lambda ...) retraces and
+        # re-deserializes the persistent-cache entry every invocation
+        # (~2 s at the 1M shape)
+        "unpack_pm1_bf16": jax.jit(
+            lambda p: unpack_pm1(p).astype(jnp.bfloat16)
+        ),
     }
     return _DEVICE_FNS
 
@@ -319,10 +325,7 @@ def windowed_adjacency_device(
     cols_pad[:n] = cols_packed
     # unpack the candidate matrix ONCE (bf16 [n_pad, 1024]); slices feed
     # every call instead of re-unpacking per chunk
-    unpack_pm1 = _get_device_fns()["unpack_pm1"]
-    dev_cols = jax.jit(lambda p: unpack_pm1(p).astype(jnp.bfloat16))(
-        jnp.asarray(cols_pad)
-    )
+    dev_cols = _get_device_fns()["unpack_pm1_bf16"](jnp.asarray(cols_pad))
 
     tm = _round_up(min(row_block, r), 32)
     pending: list[tuple[object, object, int, int]] = []

@@ -72,7 +72,11 @@ def _build_band(interpret: bool):
         bounds = bounds_ref[...]
         col_limit = jnp.minimum(bounds, n)
         row_ids = r0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_M, 1), 0)
-        dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(jnp.float32)
+        # int8 operands accumulate exactly in int32 on the MXU (bf16 in
+        # f32) — a forced f32 preferred type on int8 inputs would
+        # abandon the int8 MXU fast path (see hamming_pallas._build_chunk)
+        acc = jnp.int32 if PM_DTYPE == "int8" else jnp.float32
+        dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(acc)
 
         # zero all counts first (stale slots beyond n_tiles must read 0)
         def zero_body(t, _):
@@ -111,7 +115,7 @@ def _build_band(interpret: bool):
             dot = jax.lax.dot_general(
                 a, b,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             )
             c0 = (ct0 + t) * TILE_N
             col_ids = c0 + jax.lax.broadcasted_iota(
