@@ -1104,6 +1104,20 @@ class IncrementalDeviceLibrary:
 
 
 @functools.cache
+def _packed_update_jit():
+    import jax
+    import jax.numpy as jnp
+
+    # no donation: queued window builds may still read the buffer; the
+    # full-buffer copy costs ~10 ms at the 16M shape (HBM bandwidth)
+    @jax.jit
+    def f(buf, chunk, at):
+        return jax.lax.dynamic_update_slice(buf, chunk, (at, 0))
+
+    return f
+
+
+@functools.cache
 def _window_build_jit(w_rows: int):
     import jax
     import jax.numpy as jnp
@@ -1187,12 +1201,9 @@ class WindowedPallasState:
         n_row_chunks = -(-n_row_tiles // R_TILES)
         n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
 
-        if packed_dev is None:
-            packed_pad = np.zeros((n_pad, 32), dtype=np.uint32)
-            packed_pad[:n] = packed
-            packed_dev = jnp.asarray(packed_pad)
-        assert packed_dev.shape[0] >= n_pad
-        self.packed_dev = packed_dev
+        if packed_dev is not None:
+            assert packed_dev.shape[0] >= n_pad
+        self.packed_dev = packed_dev  # None: deferred upload, sized below
 
         first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(
             n, bounds, n_row_chunks
@@ -1227,11 +1238,31 @@ class WindowedPallasState:
         # the device slice must stay in bounds: pad the packed matrix up
         # to a whole number of windows past n_pad
         need = -(-n_pad // align) * align + self.window_rows
-        if packed_dev.shape[0] < need:
-            pad = jnp.zeros(
-                (need - packed_dev.shape[0], 32), jnp.uint32
+        if packed_dev is None:
+            # host-sourced library: DEFER the h2d — upload packed chunks
+            # as the window advances (move_window triggers it), so a cold
+            # large-N search overlaps its upload with the sweep instead
+            # of blocking on one multi-GB transfer up front
+            self._chunk = min(
+                int(os.environ.get("VDF_STREAM_CHUNK_ROWS", "131072")),
+                -(-need // 256) * 256,
             )
-            self.packed_dev = jnp.concatenate([packed_dev, pad], axis=0)
+            total = -(-need // self._chunk) * self._chunk
+            host_pad = np.zeros((total, 32), dtype=np.uint32)
+            host_pad[:n] = packed
+            self._host_packed: np.ndarray | None = host_pad
+            self._uploaded_packed: int | None = 0
+            self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
+        else:
+            self._host_packed = None
+            self._uploaded_packed = None
+            if packed_dev.shape[0] < need:
+                pad = jnp.zeros(
+                    (need - packed_dev.shape[0], 32), jnp.uint32
+                )
+                self.packed_dev = jnp.concatenate(
+                    [packed_dev, pad], axis=0
+                )
         if bounds_np.size < need:
             bounds_np = np.concatenate(
                 [bounds_np, np.full(need - n_pad, -1, np.int32)]
@@ -1259,6 +1290,28 @@ class WindowedPallasState:
         self.row_lo_dev = None
         self.rebuilds = 0
 
+    def _ensure_packed(self, rows_needed: int) -> None:
+        """Deferred-upload states: make packed rows [0, rows_needed)
+        device-resident (chunked h2d that overlaps the sweep of earlier
+        windows).  No-op once fully uploaded or for device-born states."""
+        if self._uploaded_packed is None:
+            return
+        import jax.numpy as jnp
+
+        total = self._host_packed.shape[0]
+        rows_needed = min(
+            -(-max(rows_needed, 0) // self._chunk) * self._chunk, total
+        )
+        upd = _packed_update_jit()
+        while self._uploaded_packed < rows_needed:
+            a = self._uploaded_packed
+            chunk = jnp.asarray(self._host_packed[a : a + self._chunk])
+            self.packed_dev = upd(self.packed_dev, chunk, jnp.int32(a))
+            self._uploaded_packed = a + self._chunk
+        if self._uploaded_packed >= total:
+            self._host_packed = None
+            self._uploaded_packed = None
+
     def move_window(self, w_start: int) -> None:
         """Slide the resident +/-1 window to start at row ``w_start``
         (window_align-aligned).  The caller must ensure no launches are
@@ -1268,6 +1321,7 @@ class WindowedPallasState:
         import jax.numpy as jnp
 
         assert w_start % self.window_align == 0
+        self._ensure_packed(w_start + self.window_rows)
         # release our references first so the allocator can reuse the
         # previous window's pages for the new one
         self.pm1 = self.bounds_dev = self.row_lo_dev = None
