@@ -346,3 +346,49 @@ def test_batched_refs_device_path_matches_loop(monkeypatch):
     got = s2.search_with_references_batched(refs, tol)
     assert got == expected
     assert any(expected)
+
+
+def test_chunked_device_refs_matches_loop(monkeypatch):
+    """Candidate-axis chunking of the device refs path (the guard against
+    a fully-resident +/-1 matrix on huge libraries) must stay exactly
+    equal to the per-ref loop — on both the XLA and the Pallas kernels."""
+    import importlib
+
+    search_mod = importlib.import_module("vid_dup_finder_lib_tpu.search")
+    Search = search_mod.Search
+    monkeypatch.setattr(search_mod, "_DEVICE_REFS_WORK_THRESHOLD", 0)
+    monkeypatch.setenv("VDF_REFS_CHUNK", "200")  # 600 cands -> 3 chunks
+
+    rng = np.random.default_rng(29)
+    cands = _named([VideoHash.random_hash(rng) for _ in range(600)])
+    cands = [
+        h.with_duration(int(d))
+        for h, d in zip(cands, rng.integers(50, 500, len(cands)))
+    ]
+    refs = [
+        VideoHash.random_hash(rng)
+        .with_src_path(f"/r/{i:03}")
+        .with_duration(int(d))
+        for i, d in enumerate(rng.integers(50, 500, 80))
+    ]
+    refs[3] = cands[17].with_src_path("/r/003")
+    refs[40] = (
+        cands[450]
+        .hash_with_spatial_distance(90, rng)
+        .with_src_path("/r/040")
+        .with_duration(cands[450].duration)
+    )
+
+    tol = 0.47
+    s1 = Search(cands)
+    expected = [
+        s1.search_with_references([r], tol, consume=False)[0] for r in refs
+    ]
+    got = Search(cands).search_with_references_batched(refs, tol)
+    assert got == expected
+    assert any(expected)
+
+    # and through the generalized Pallas sweep (interpret mode)
+    monkeypatch.setattr(search_mod, "_on_tpu", lambda: True)
+    got_pallas = Search(cands).search_with_references_batched(refs, tol)
+    assert got_pallas == expected

@@ -121,9 +121,9 @@ def hash_videos(
         metas = [(p, dur) for (p, _, dur, _) in batch]
         cubes = np.stack([c for (_, c, _, _) in batch])
         if use_pallas:
-            from ..ops.hash_pallas import hash_cubes_pallas
+            from ..ops.hash_pallas import hash_cubes_pallas_async
 
-            return metas, hash_cubes_pallas(cubes)  # blocking variant
+            return metas, hash_cubes_pallas_async(cubes)
         from ..ops.hash_kernel import hash_cubes_device_async
 
         return metas, hash_cubes_device_async(cubes)
@@ -151,7 +151,8 @@ def hash_videos(
             pending.append(dispatch(buf))
 
     for metas, packed in pending:
-        rows = np.asarray(packed)
+        # pallas batches carry a finalizer, XLA batches a device array
+        rows = packed() if callable(packed) else np.asarray(packed)
         for (p, dur), row in zip(metas, rows):
             results[p] = VideoHash.from_packed_u32(
                 np.ascontiguousarray(row), p, dur

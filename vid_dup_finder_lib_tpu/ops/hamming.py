@@ -461,4 +461,15 @@ def banded_adjacency(
             return banded_adjacency_pallas(packed, bounds, tolerance_int)
         return banded_adjacency_device(packed, bounds, tolerance_int)
     except Exception:
+        # the NumPy fallback unpacks 4 KB/hash and runs ~500x slower:
+        # viable for small libraries (no jax, CI), a silent multi-hour
+        # hang at millions — surface the device error there instead
+        if packed.shape[0] > 2_000_000:
+            raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "device search failed; falling back to the NumPy host sweep",
+            exc_info=True,
+        )
         return banded_adjacency_host(packed, bounds, tolerance_int)

@@ -1803,7 +1803,15 @@ class _RefsState(PallasSearchState):
                  ref0, r) -> None:
         import jax.numpy as jnp
 
+        # the floor-divisions below silently DROP trailing refs tiles if
+        # the refs region start isn't chunk-aligned; the default geometry
+        # guarantees it, non-default knobs must too
+        assert R_TILES == 1, "refs search assumes single-row-tile chunks"
+        assert ref0 % TILE_M == 0 and TILE_N % TILE_M == 0, (
+            "refs region must start row-tile aligned (TILE_N % TILE_M)"
+        )
         n_pad = packed_pad.shape[0]
+        assert n_pad % TILE_M == 0
         self.uploaded_rows = None
         self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
         self.pm1.block_until_ready()

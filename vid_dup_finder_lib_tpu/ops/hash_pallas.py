@@ -184,8 +184,30 @@ def hash_cubes_pallas(
     Drop-in equivalent of ``hash_kernel.hash_cubes_device`` backed by the
     fused Pallas kernel; pads the batch to a multiple of VB.
     """
+    return hash_cubes_pallas_async(frames16, interpret)()
+
+
+@functools.cache
+def _d3_device():
+    """The [1024, 4096] collapsed-DCT operator, device-resident ONCE —
+    re-uploading 16.8 MB per batch cost ~0.6 s each through the dev
+    tunnel's h2d."""
     import jax.numpy as jnp
 
+    return jnp.asarray(_d3_operator())
+
+
+def hash_cubes_pallas_async(
+    frames16: np.ndarray, interpret: bool | None = None
+):
+    """Dispatch the fused Pallas batch hash WITHOUT blocking.
+
+    Returns a zero-arg finalizer producing the packed uint32[B, 32]
+    rows; jax dispatch is asynchronous, so the caller keeps decoding the
+    next batch while this one hashes (the double-buffered streaming
+    pattern ``hash_kernel.hash_cubes_device_async`` provides for the XLA
+    path).
+    """
     if interpret is None:
         interpret = not _is_tpu()
     frames16 = np.ascontiguousarray(frames16, dtype=np.uint8)
@@ -196,6 +218,10 @@ def hash_cubes_pallas(
             [frames16, np.zeros((b_pad - b,) + frames16.shape[1:], np.uint8)]
         )
     fn = _build(interpret)
-    d3 = jnp.asarray(_d3_operator())
-    words = np.ascontiguousarray(np.asarray(fn(frames16, d3)).T)
-    return words[:b].view(np.uint32)
+    out = fn(frames16, _d3_device())
+
+    def finalize() -> np.ndarray:
+        words = np.ascontiguousarray(np.asarray(out).T)
+        return words[:b].view(np.uint32)
+
+    return finalize

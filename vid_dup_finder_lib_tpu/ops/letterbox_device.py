@@ -30,6 +30,15 @@ from ..crop import Crop
 MIN_PROPORTION = 0.9
 TOL = 16  # cropdetect_letterbox uses AnyColour(16)
 
+# exact integer form of `matching / strip_len > MIN_PROPORTION` used by
+# the kernel (f32 division disagrees with the host's f64 at exact-0.9
+# ratios like 108/120) — DERIVED from the constant so tuning it keeps
+# host and device coupled
+from fractions import Fraction as _Fr  # noqa: E402
+
+_PROP_NUM = _Fr(MIN_PROPORTION).limit_denominator(1000).numerator
+_PROP_DEN = _Fr(MIN_PROPORTION).limit_denominator(1000).denominator
+
 
 @functools.cache
 def _build(interpret_unused: bool = False):
@@ -64,9 +73,7 @@ def _build(interpret_unused: bool = False):
         )[..., 0]
         matching = top - bot
         strip_len = strips.shape[-1]
-        # exact integer form of matching/len > 0.9: f32 division here
-        # disagrees with the host's f64 at exact-0.9 ratios (e.g. 108/120)
-        return 10 * matching > 9 * strip_len
+        return _PROP_DEN * matching > _PROP_NUM * strip_len
 
     def take_while(flags):
         """count of leading True along the last axis."""

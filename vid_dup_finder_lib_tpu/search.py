@@ -251,23 +251,45 @@ class Search:
             ref_mat = hashes_to_matrix([refs[k] for k in order])
             lo = np.array([w[0] for w in windows_all], np.int64)
             hi = np.array([w[1] for w in windows_all], np.int64)
-            if _on_tpu():
-                # the generalized Pallas sweep: per-row [lo, hi) window
-                from .ops.hamming_pallas import refs_adjacency_pallas
+            cands_mat = hashes_to_matrix(self.entries)
+            n_entries = len(self.entries)
+            # the refs kernel holds a fully-resident +/-1 candidate
+            # matrix (1 KB/hash): chunk the candidate axis so huge
+            # libraries never exceed HBM.  Each ref's window is clipped
+            # per chunk; chunks partition the candidates, so every
+            # (ref, candidate) pair is found exactly once, in ascending
+            # candidate order per ref (chunks ascend, j ascends within).
+            chunk = int(os.environ.get("VDF_REFS_CHUNK", "2000000"))
+            results: list[list[str]] = [[] for _ in refs]
+            on_tpu = _on_tpu()
+            for c0 in range(0, n_entries, chunk):
+                c1 = min(c0 + chunk, n_entries)
+                sel = np.nonzero((lo < c1) & (hi > c0))[0]
+                if sel.size == 0:
+                    continue
+                sub_lo = np.clip(lo[sel] - c0, 0, c1 - c0)
+                sub_hi = np.clip(hi[sel] - c0, 0, c1 - c0)
+                if on_tpu:
+                    # the generalized Pallas sweep: per-row [lo, hi)
+                    from .ops.hamming_pallas import refs_adjacency_pallas
 
-                pi, pj = refs_adjacency_pallas(
-                    ref_mat, hashes_to_matrix(self.entries), lo, hi, tol
-                )
-            else:
-                from .ops.hamming import windowed_adjacency_device
+                    pi, pj = refs_adjacency_pallas(
+                        ref_mat[sel], cands_mat[c0:c1], sub_lo, sub_hi,
+                        tol,
+                    )
+                else:
+                    from .ops.hamming import windowed_adjacency_device
 
-                pi, pj = windowed_adjacency_device(
-                    ref_mat, hashes_to_matrix(self.entries), lo, hi, tol
-                )
-            results = [[] for _ in refs]
-            for i, j in zip(pi.tolist(), pj.tolist()):
-                if not self.matched[j]:
-                    results[order[i]].append(self.entries[j].src_path)
+                    pi, pj = windowed_adjacency_device(
+                        ref_mat[sel], cands_mat[c0:c1], sub_lo, sub_hi,
+                        tol,
+                    )
+                for i, j in zip(pi.tolist(), pj.tolist()):
+                    jj = int(j) + c0
+                    if not self.matched[jj]:
+                        results[order[int(sel[i])]].append(
+                            self.entries[jj].src_path
+                        )
             return results
 
         cand_pm = unpack_pm1_host(hashes_to_matrix(self.entries))
