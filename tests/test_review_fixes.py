@@ -137,3 +137,92 @@ def test_walker_threads_exit_when_consumer_abandons(tmp_path):
             break
         time.sleep(0.1)
     assert threading.active_count() <= before, "walker threads leaked"
+
+
+def test_ring_scan_pads_never_count(tmp_path):
+    """n not a multiple of the mesh size + a low-popcount hash: pad
+    columns must not inflate counts or surface sentinel best-ids."""
+    import numpy as np
+
+    from vid_dup_finder_lib_tpu.parallel.mesh import make_mesh
+    from vid_dup_finder_lib_tpu.parallel.sharded_search import (
+        ring_candidate_scan,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 100  # 8-device mesh pads to 104
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    packed[:, -1] &= np.uint32(0xFF)
+    # a near-dark video: popcount ~250 <= tolerance 300 vs a zero pad row
+    packed[50] = 0
+    for w in rng.choice(31, 8, replace=False):
+        packed[50, w] = np.uint32(0xFF)
+    durations = np.sort(rng.integers(50, 60, n))  # wide mutual windows
+    mesh = make_mesh(8)
+    counts, best_dist, best_idx = ring_candidate_scan(
+        mesh, packed, durations, 300
+    )
+    assert best_idx.max() < n, "pad sentinel id leaked into best_idx"
+    # brute-force expected counts
+    thresh = (durations * 1.1).astype(np.int64)
+    exp = np.zeros(n, np.int64)
+    for i in range(n):
+        for j in range(n):
+            if j > i and durations[j] <= thresh[i]:
+                d = int(
+                    np.bitwise_count(packed[i] ^ packed[j]).sum()
+                )
+                if d <= 300:
+                    exp[i] += 1
+    assert np.array_equal(counts, exp)
+
+
+def test_walker_dedups_overlapping_roots(tmp_path):
+    from vid_dup_finder_lib_tpu.cache.filename_pattern import (
+        FilenamePattern,
+    )
+
+    d = tmp_path / "vids"
+    sub = d / "sub"
+    sub.mkdir(parents=True)
+    (d / "a.mp4").write_bytes(b"")
+    (sub / "b.mp4").write_bytes(b"")
+    pat = FilenamePattern(
+        [str(d), str(sub), str(sub / "b.mp4"), str(d)]
+    )
+    out = sorted(pat.iterate_from_fs())
+    assert out == sorted([str(d / "a.mp4"), str(sub / "b.mp4")])
+
+
+def test_metadata_schema_drift_is_cache_error(tmp_path):
+    import json
+
+    from vid_dup_finder_lib_tpu.cache.hash_cache import (
+        VdfCacheError,
+        VideoHashFilesystemCache,
+    )
+
+    cache_path = tmp_path / "hashes.json"
+    meta = tmp_path / "hashes.metadata.json"
+    meta.write_text(json.dumps({"cache_version": 99, "bogus_field": 1}))
+    with pytest.raises(VdfCacheError):
+        VideoHashFilesystemCache(str(cache_path))
+
+
+def test_sidecar_records_forced_backend(tmp_path):
+    import json
+
+    from vid_dup_finder_lib_tpu.cache.hash_cache import (
+        VideoHashFilesystemCache,
+    )
+    from vid_dup_finder_lib_tpu.ingest import backend as be
+
+    be.force_backend("opencv")
+    try:
+        VideoHashFilesystemCache(str(tmp_path / "h.json"))
+        meta = json.loads((tmp_path / "h.metadata.json").read_text())
+        assert meta["decode_backend"] == "opencv"
+    finally:
+        be.force_backend(None)

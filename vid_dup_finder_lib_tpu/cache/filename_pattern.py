@@ -54,11 +54,23 @@ class FilenamePattern:
         """Walk every include root in parallel, yielding matching files
         (filename_pattern.rs:89-143's walker + bounded channel)."""
         roots = [p for p in self.includes if os.path.exists(p)]
-        files_from_file_roots = [
-            p for p in roots if os.path.isfile(p) and self.includes_path(p)
-        ]
-        yield from files_from_file_roots
+        # overlapping roots (a root nested under another, a file root
+        # inside a dir root, or plain duplicates) must not yield — and
+        # decode — the same file twice
+        seen: set[str] = set()
+        for p in roots:
+            if os.path.isfile(p) and self.includes_path(p):
+                if p not in seen:
+                    seen.add(p)
+                    yield p
         dir_roots = [p for p in roots if os.path.isdir(p)]
+        dir_roots = [
+            d
+            for d in sorted(set(dir_roots))
+            if not any(
+                other != d and _is_under(d, other) for other in dir_roots
+            )
+        ]
         if not dir_roots:
             return
 
@@ -118,7 +130,9 @@ class FilenamePattern:
                 item = q.get()
                 if item is _SENTINEL:
                     break
-                yield item
+                if item not in seen:  # file roots may overlap dir walks
+                    seen.add(item)
+                    yield item
             t.join()
         finally:
             stop.set()

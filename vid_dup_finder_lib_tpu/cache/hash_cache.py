@@ -67,13 +67,15 @@ class CacheMetadata:
 
     @staticmethod
     def current(opts: CreationOptions) -> "CacheMetadata":
-        from ..ingest.backend import available_backends
+        from ..ingest.backend import active_backend_name
 
-        backends = available_backends()
         return CacheMetadata(
             cache_version=CACHE_VERSION,
             os_name=platform.system(),
-            decode_backend=backends[0] if backends else "none",
+            # the backend decodes will ACTUALLY use (force_backend
+            # honored) — recording available_backends()[0] let a pinned
+            # run mix decode backends into a cache that validated clean
+            decode_backend=active_backend_name(),
             cropdetect=opts.cropdetect.value,
             skip_forward=opts.skip_forward_amount,
             hash_duration=opts.duration,
@@ -115,7 +117,16 @@ class VideoHashFilesystemCache:
         current = CacheMetadata.current(self.options)
         if os.path.exists(self._meta_path):
             with open(self._meta_path, "r", encoding="utf-8") as f:
-                stored = CacheMetadata(**json.load(f))
+                raw = json.load(f)
+            try:
+                stored = CacheMetadata(**raw)
+            except TypeError:
+                # schema drift (the very case cache_version exists for)
+                # must surface as the clean mismatch error, not TypeError
+                raise VdfCacheError(
+                    "hash cache metadata has an incompatible schema "
+                    f"({raw}); delete the cache or use a matching version"
+                ) from None
             current.validate_against(stored)
         else:
             os.makedirs(
@@ -234,26 +245,40 @@ class VideoHashFilesystemCache:
                 "VDF_DEVICE_PREPROC", ""
             ) not in ("", "0")
         if device_preproc:
-            # decode-only host path: letterbox + resize + hash on device
+            # decode-only host path: letterbox + resize + hash on device.
+            # Chunked like the host path so the autosave checkpoint
+            # contract holds — one monolithic hash_videos call inserted
+            # nothing until the very end, voiding resume on interrupt.
             from ..models.pipeline import hash_videos
 
-            res = hash_videos(
-                stale,
-                self.options,
-                decode_workers=decode_workers,
-                progress=progress,
-                device_preproc=True,
-            )
-            for p, v in res.items():
-                self._cache.insert_with_mtime(p, v, mtime_secs(p) or 0)
+            done = 0
+            for start in range(0, len(stale), HASH_BATCH):
+                chunk = stale[start : start + HASH_BATCH]
+                # mtimes BEFORE decoding: a file modified mid-hash must
+                # look stale on the next run, not fresh with old bits
+                mtimes = {p: mtime_secs(p) or 0 for p in chunk}
+                res = hash_videos(
+                    chunk,
+                    self.options,
+                    decode_workers=decode_workers,
+                    device_preproc=True,
+                )
+                for p, v in res.items():
+                    self._cache.insert_with_mtime(p, v, mtimes[p])
+                done += len(chunk)
+                if progress:
+                    progress(done, len(stale))
             return len(stale)
+
+        from ..models.pipeline import safe_prepare
 
         done = 0
         with ThreadPoolExecutor(max_workers=decode_workers) as pool:
             for start in range(0, len(stale), HASH_BATCH):
                 chunk = stale[start : start + HASH_BATCH]
+                mtimes = {p: mtime_secs(p) or 0 for p in chunk}
                 prepared = list(
-                    pool.map(lambda p: _safe_prepare(p, self.options), chunk)
+                    pool.map(lambda p: safe_prepare(p, self.options), chunk)
                 )
                 good = [
                     (p, cube, dur)
@@ -269,13 +294,11 @@ class VideoHashFilesystemCache:
                         self._cache.insert_with_mtime(
                             p,
                             VideoHash.from_packed_u32(row, p, dur),
-                            mtime_secs(p) or 0,
+                            mtimes[p],
                         )
                 for p, _, _, err in prepared:
                     if err is not None:
-                        self._cache.insert_with_mtime(
-                            p, err, mtime_secs(p) or 0
-                        )
+                        self._cache.insert_with_mtime(p, err, mtimes[p])
                 done += len(chunk)
                 if progress:
                     progress(done, len(stale))
@@ -290,11 +313,3 @@ class VideoHashFilesystemCache:
         return len(gone)
 
 
-def _safe_prepare(path: str, opts: CreationOptions):
-    try:
-        cube, dur = prepare_frames(path, opts)
-        return (path, cube, dur, None)
-    except VdfError as e:
-        return (path, None, 0, e)
-    except Exception as e:
-        return (path, None, 0, VidProc(f"{e!r}"))

@@ -56,6 +56,15 @@ def _pick_backend() -> str:
     return avail[0]
 
 
+def active_backend_name() -> str:
+    """The backend decodes will actually use (honors ``force_backend``) —
+    what hash-affecting metadata (the cache sidecar) must record."""
+    try:
+        return _pick_backend()
+    except VidProc:
+        return "none"
+
+
 @dataclass
 class FrameReadCfg:
     """(ffmpeg_gst_wrapper/src/lib.rs:76-81)"""

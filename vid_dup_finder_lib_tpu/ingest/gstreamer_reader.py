@@ -56,8 +56,14 @@ class GStreamerFrameReader:
         rate = (
             f",framerate={self.fps[0]}/{self.fps[1]}" if self.fps else ""
         )
+        from pathlib import Path
+
+        # percent-encoded absolute file URI: raw concatenation split the
+        # parse_launch string at spaces in the path and produced invalid
+        # URIs for relative paths
+        uri = Path(self.src_path).absolute().as_uri()
         pipeline = Gst.parse_launch(
-            f"uridecodebin uri=file://{self.src_path} buffer-size=1 ! "
+            f"uridecodebin uri={uri} buffer-size=1 ! "
             f"videorate ! capsfilter caps=video/x-raw{rate} ! "
             "videoconvert ! appsink name=sink sync=false max-buffers=1 "
             f"caps=video/x-raw,format={fmt}"

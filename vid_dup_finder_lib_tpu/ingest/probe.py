@@ -96,7 +96,9 @@ class VideoInfo:
                 rotation = int(raw)
             except (TypeError, ValueError):
                 rotation = 0
-        if rotation % 360 in (90, 270) or rotation % -360 in (-90, -270):
+        # Python's % with positive 360 maps negative rotations into
+        # 0..359 already (-90 % 360 == 270)
+        if rotation % 360 in (90, 270):
             width, height = height, width
 
         return VideoInfo(duration, file_size, (width, height))

@@ -24,6 +24,23 @@ from .builder import CreationOptions, prepare_frames
 DEFAULT_BATCH = 256
 
 
+def safe_prepare(path: str, options: CreationOptions):
+    """Decode + preprocess one video, mapping failures to CACHEABLE error
+    values (generic_cache_if.rs:22-44's contract): VdfError passes
+    through, anything a decode library throws becomes VidProc.  Returns
+    (path, cube | None, duration, error | None) — the one shared helper
+    for the pipeline and the cache updater, so the error-wrapping rules
+    cannot drift between paths.
+    """
+    try:
+        cube, dur = prepare_frames(path, options)
+        return (path, cube, dur, None)
+    except VdfError as e:
+        return (path, None, 0, e)
+    except Exception as e:  # decode libs can throw anything
+        return (path, None, 0, VidProc(f"{e!r}"))
+
+
 def hash_raw_frames_device(
     frames: np.ndarray,
     letterbox: bool = True,
@@ -101,13 +118,7 @@ def hash_videos(
     results: dict[str, VideoHash | VdfError] = {}
 
     def prepare(p: str):
-        try:
-            cube, dur = prepare_frames(p, options)
-            return (p, cube, dur, None)
-        except VdfError as e:
-            return (p, None, 0, e)
-        except Exception as e:  # decode libs can throw anything
-            return (p, None, 0, VidProc(f"{e!r}"))
+        return safe_prepare(p, options)
 
     if use_pallas is None:
         try:

@@ -121,6 +121,16 @@ def _build_ring_scan(axis: str):
     return make
 
 
+@functools.cache
+def _jitted_ring_scan(axis: str, mesh):
+    """jit-wrapped ring scan cached per (axis, mesh): a fresh shard_map +
+    jit per call retraced every invocation (compiles through the remote
+    helper cost ~7.5 s/kernel when the disk cache misses)."""
+    import jax
+
+    return jax.jit(_build_ring_scan(axis)(mesh))
+
+
 def ring_candidate_scan(
     mesh,
     packed: np.ndarray,
@@ -144,14 +154,18 @@ def ring_candidate_scan(
 
     packed_pad = np.zeros((ns, packed.shape[1]), np.uint32)
     packed_pad[:n] = packed
-    durs = np.full((ns, 1), -(10**9), np.int32)  # pads match nothing
+    durs = np.full((ns, 1), -(10**9), np.int32)
     durs[:n, 0] = durations
-    ids = np.full((ns, 1), 2**30, np.int32)  # pads are never candidates
+    # pad COLUMN id must fail the `cand_id > row_id` test for every real
+    # row, so it must sit BELOW all ids: -1 (a high sentinel passed the
+    # id and duration tests, leaving only the distance test — which an
+    # all-zero pad hash can pass against low-popcount rows)
+    ids = np.full((ns, 1), -1, np.int32)
     ids[:n, 0] = np.arange(n)
 
-    fn = _build_ring_scan(axis)(mesh)
+    fn = _jitted_ring_scan(axis, mesh)
     with mesh:
-        counts, best_dist, best_idx = jax.jit(fn)(
+        counts, best_dist, best_idx = fn(
             jnp.asarray(packed_pad),
             jnp.asarray(durs),
             jnp.asarray(ids),
@@ -247,6 +261,15 @@ def _build_ring_pair_step(axis: str):
     return make_unpack, make_step
 
 
+@functools.cache
+def _jitted_ring_pair_fns(axis: str, mesh):
+    """jit-wrapped exact-pair ring primitives cached per (axis, mesh)."""
+    import jax
+
+    make_unpack, make_step = _build_ring_pair_step(axis)
+    return jax.jit(make_unpack(mesh)), jax.jit(make_step(mesh))
+
+
 def banded_adjacency_ring(
     packed: np.ndarray,
     bounds: np.ndarray,
@@ -290,9 +313,7 @@ def banded_adjacency_ring(
     bounds_np = np.zeros((npad, 1), np.int32)  # pad rows match nothing
     bounds_np[:n, 0] = np.minimum(np.asarray(bounds, dtype=np.int64), n)
 
-    make_unpack, make_step = _build_ring_pair_step(axis)
-    unpack_fn = jax.jit(make_unpack(mesh))
-    step_fn = jax.jit(make_step(mesh))
+    unpack_fn, step_fn = _jitted_ring_pair_fns(axis, mesh)
 
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
@@ -381,10 +402,16 @@ def _build_sharded_hash(axis: str):
     return make
 
 
+@functools.cache
+def _jitted_sharded_hash(axis: str, mesh):
+    import jax
+
+    return jax.jit(_build_sharded_hash(axis)(mesh))
+
+
 def sharded_hash_batch(mesh, cubes: np.ndarray, axis: str = "x") -> np.ndarray:
     """Data-parallel batched hashing over the mesh: each chip hashes its
     shard of the video batch (uint8[B, 16, 16, 16] -> uint32[B, 32])."""
-    import jax
     import jax.numpy as jnp
 
     b = cubes.shape[0]
@@ -394,7 +421,7 @@ def sharded_hash_batch(mesh, cubes: np.ndarray, axis: str = "x") -> np.ndarray:
         cubes = np.concatenate(
             [cubes, np.zeros((b_pad - b,) + cubes.shape[1:], np.uint8)]
         )
-    fn = _build_sharded_hash(axis)(mesh)
+    fn = _jitted_sharded_hash(axis, mesh)
     with mesh:
-        out = jax.jit(fn)(jnp.asarray(cubes))
+        out = fn(jnp.asarray(cubes))
     return np.asarray(out)[:b]
