@@ -226,3 +226,81 @@ def test_sidecar_records_forced_backend(tmp_path):
         assert meta["decode_backend"] == "opencv"
     finally:
         be.force_backend(None)
+
+
+def test_expression_language_parity():
+    """Both 'as X at Y' orders parse; untrash combined with as/at is
+    unparseable (the reference's six regexes, resolution_thunk.rs:256-292)."""
+    from vid_dup_finder_lib_tpu.app.resolution_thunk import (
+        _parse_expression,
+    )
+
+    assert _parse_expression("1 as 2 at 3") == (False, "1", "2", "3")
+    assert _parse_expression("1 at 3 as 2") == (False, "1", "2", "3")
+    assert _parse_expression("1as2") == (False, "1", "2", None)  # \s*
+    assert _parse_expression("u1") == (True, "1", None, None)
+    assert _parse_expression("u1 as 2") is None
+    assert _parse_expression("u1 at 2") is None
+
+
+def test_untrash_never_clobbers(tmp_path):
+    """'0 as 1' then 'u1': the untrashed file must not overwrite the
+    keeper now occupying its old path."""
+    from vid_dup_finder_lib_tpu.app.resolution_thunk import ResolutionThunk
+
+    a = _mkfiles(tmp_path / "a", ["keep.mp4", "donor.mp4"])
+    t = ResolutionThunk.from_matchgroup(
+        MatchGroup.new(a), trash_dir=str(tmp_path / "trash")
+    )
+    # entries sort alphabetically: [donor.mp4, keep.mp4].  '0 as 1'
+    # trashes keep.mp4 and renames donor onto keep.mp4's path.
+    t.resolve("0 as 1")
+    kept = [e for e in t.entries if os.path.exists(e)][0]
+    kept_bytes = open(kept, "rb").read()
+    t.resolve("u1")  # keep.mp4 comes back — beside, not over, the keeper
+    assert open(kept, "rb").read() == kept_bytes
+    assert os.path.exists(str(tmp_path / "a" / "keep (1).mp4"))
+
+
+def test_matchdb_save_is_atomic_with_bak_copy(tmp_path):
+    import json
+
+    from vid_dup_finder_lib_tpu.app.match_db import MatchDb
+
+    f1 = _mkfiles(tmp_path / "v", ["a.mp4", "b.mp4"])
+    db = MatchDb(str(tmp_path / "db"))
+    db.insert_confirmed_pair(*f1)
+    db.to_disk()
+    first = open(db._confirmed_path()).read()
+    db.insert_falsepos_pair(*f1)
+    db.to_disk()
+    # the .bak is a COPY of the previous good file (the old scheme moved
+    # it away before writing, leaving a crash window with no good copy)
+    baks = [
+        p
+        for p in os.listdir(tmp_path / "db")
+        if p.startswith("confirmed.json.") and p.endswith(".bak")
+    ]
+    assert baks
+    assert json.loads(first) == json.loads(
+        open(tmp_path / "db" / sorted(baks)[-1]).read()
+    )
+    json.loads(open(db._confirmed_path()).read())  # current file valid
+
+
+def test_bad_numeric_flags_exit_2(capsys):
+    from vid_dup_finder_lib_tpu.app.app_fns import run_app
+
+    assert run_app(["--files", "/tmp", "--tolerance", "abc"]) == 2
+    assert "tolerance" in capsys.readouterr().err
+    assert run_app(["--files", "/tmp", "--display-match-db-matches"]) == 2
+
+
+def test_strip_comments_respects_quotes():
+    from vid_dup_finder_lib_tpu.app.arg_parse import strip_comments
+
+    assert strip_comments("--files '/data/my #set'  # real comment") == (
+        "--files '/data/my #set'  "
+    )
+    assert strip_comments('--files "/d/a#b"') == '--files "/d/a#b"'
+    assert strip_comments("plain # comment") == "plain "

@@ -396,6 +396,7 @@ def do_app_outputs(
             cache=cache,
             trash_dir=cfg.output_cfg.gui.trash_path,
             port=cfg.output_cfg.gui.web_port,
+            max_thumbs=cfg.output_cfg.gui.max_thumbs,
         )
     elif cfg.output_cfg.gui.enabled:
         # ... or as a TTY carousel (--gui-slint maps here)

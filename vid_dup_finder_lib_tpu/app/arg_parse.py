@@ -121,11 +121,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def strip_comments(text: str) -> str:
-    """Drop '#'-to-end-of-line comments (the vendored crate's shell dialect)."""
+    """Drop '#'-to-end-of-line comments, shell-dialect: a '#' inside
+    single or double quotes is literal (the vendored crate's shell
+    dialect respected quoting; a naive find('#') corrupted quoted paths
+    containing '#')."""
     out_lines = []
     for line in text.splitlines():
-        idx = line.find("#")
-        out_lines.append(line[:idx] if idx >= 0 else line)
+        quote: str | None = None
+        cut = len(line)
+        for i, ch in enumerate(line):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "#":
+                cut = i
+                break
+        out_lines.append(line[:cut])
     return "\n".join(out_lines)
 
 
@@ -140,7 +153,10 @@ def expand_args_file(argv: list[str]) -> list[str]:
     path = argv[i + 1]
     with open(path, "r", encoding="utf-8") as f:
         content = strip_comments(f.read())
-    file_args = shlex.split(content)
+    try:
+        file_args = shlex.split(content)
+    except ValueError as e:  # e.g. unbalanced quotes
+        raise SystemExit(f"error: malformed --args-file {path}: {e}")
     return argv[:i] + file_args + argv[i + 2 :]
 
 
@@ -153,6 +169,33 @@ def parse_args(argv: list[str] | None = None) -> AppCfg:
     argv = list(sys.argv[1:] if argv is None else argv)
     argv = expand_args_file(argv)
     ns = build_parser().parse_args(argv)
+
+    # numeric flags are string-typed for reference default parity
+    # ("0.3"); a bad value must be a clean usage error, not a traceback
+    for flag, value in (
+        ("--tolerance", ns.tolerance),
+        ("--skip-forward", ns.skip_forward),
+        ("--hash-duration", ns.hash_duration),
+    ):
+        try:
+            float(value)
+        except (TypeError, ValueError):
+            raise SystemExit(
+                f"error: invalid value {value!r} for {flag}: expected a "
+                "number"
+            )
+
+    # clap marks the match-db display flags `.requires(MATCH_DB_PATH)`
+    # (arg_parse.rs:190,205,220): silently running a full search instead
+    # of the requested db display is the wrong surprise
+    if not ns.matchdb and (
+        ns.display_match_db_matches
+        or ns.display_match_db_falsepos
+        or ns.display_match_db_validation_failures
+    ):
+        raise SystemExit(
+            "error: --display-match-db-* requires --matchdb"
+        )
 
     verbosity = ReportVerbosity.DEFAULT
     if ns.quiet:

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
 from itertools import combinations
 from typing import Iterable, Iterator
@@ -29,6 +31,22 @@ from typing import Iterable, Iterator
 from ..cache.file_content_cache import FileContentCache
 from ..match_group import MatchGroup, TooFewEntries
 from .disjoint_set import DisjointSet
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    """tmp file + fsync + replace in the target dir (the base_cache save
+    discipline): a crash mid-dump must never leave a partial file."""
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".vdf_matchdb_", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(obj, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 class MatchDb:
@@ -163,24 +181,24 @@ class MatchDb:
     def to_disk(self) -> None:
         os.makedirs(self.db_path, exist_ok=True)
         stamp = time.strftime("%Y%m%d-%H%M%S")
+        # .bak by COPY (the good file stays in place), then atomic
+        # tmp+fsync+replace writes: the previous scheme moved the good
+        # copy away and wrote in place, so a crash mid-dump left the
+        # curated db truncated or missing (match_db.rs:354-465 backups)
         for path in (self._confirmed_path(), self._falsepos_path()):
             if os.path.exists(path):
-                os.replace(path, f"{path}.{stamp}.bak")
-        with open(self._confirmed_path(), "w", encoding="utf-8") as f:
-            json.dump(
-                {
-                    "groups": [sorted(g) for g in self.confirmed.groups()],
-                    "content_hashes": self.content_hashes,
-                },
-                f,
-                indent=2,
-            )
-        with open(self._falsepos_path(), "w", encoding="utf-8") as f:
-            json.dump(
-                {k: sorted(v) for k, v in self.falsepos.items()},
-                f,
-                indent=2,
-            )
+                shutil.copy2(path, f"{path}.{stamp}.bak")
+        _atomic_write_json(
+            self._confirmed_path(),
+            {
+                "groups": [sorted(g) for g in self.confirmed.groups()],
+                "content_hashes": self.content_hashes,
+            },
+        )
+        _atomic_write_json(
+            self._falsepos_path(),
+            {k: sorted(v) for k, v in self.falsepos.items()},
+        )
         self.content_cache.save()
 
     @staticmethod

@@ -25,9 +25,34 @@ from dataclasses import dataclass, field
 
 from ..match_group import MatchGroup
 
-_EXPR_RE = re.compile(
-    r"^\s*(?:(u)\s*)?(\d+)(?:\s+as\s+(\d+))?(?:\s+at\s+(\d+))?\s*$"
-)
+# the reference's six keep-expression patterns (resolution_thunk.rs:
+# 256-292): both "as X at Y" orders, zero-or-more spaces around the
+# keywords, and untrash STRICTLY alone ("u1 as 2" is unparseable there)
+_RE_AS_AT = re.compile(r"^\s*(\d+)\s*as\s*(\d+)\s*at\s*(\d+)\s*$")
+_RE_AT_AS = re.compile(r"^\s*(\d+)\s*at\s*(\d+)\s*as\s*(\d+)\s*$")
+_RE_AT = re.compile(r"^\s*(\d+)\s*at\s*(\d+)\s*$")
+_RE_AS = re.compile(r"^\s*(\d+)\s*as\s*(\d+)\s*$")
+_RE_PLAIN = re.compile(r"^\s*(\d+)\s*$")
+_RE_UNTRASH = re.compile(r"^\s*u(\d+)\s*$")
+
+
+def _parse_expression(
+    expression: str,
+) -> tuple[bool, str, str | None, str | None] | None:
+    """-> (untrash, keep, as_idx, at_idx) or None if unparseable."""
+    if m := _RE_UNTRASH.match(expression):
+        return True, m.group(1), None, None
+    if m := _RE_AS_AT.match(expression):
+        return False, m.group(1), m.group(2), m.group(3)
+    if m := _RE_AT_AS.match(expression):
+        return False, m.group(1), m.group(3), m.group(2)
+    if m := _RE_AT.match(expression):
+        return False, m.group(1), None, m.group(2)
+    if m := _RE_AS.match(expression):
+        return False, m.group(1), m.group(2), None
+    if m := _RE_PLAIN.match(expression):
+        return False, m.group(1), None, None
+    return None
 
 
 @dataclass
@@ -68,10 +93,10 @@ class ResolutionThunk:
 
     def resolve(self, expression: str) -> list[str]:
         """Execute a keep-expression; returns a log of actions taken."""
-        m = _EXPR_RE.match(expression)
-        if not m:
+        parsed = _parse_expression(expression)
+        if parsed is None:
             raise ValueError(f"unparseable resolution: {expression!r}")
-        untrash, keep_s, as_s, at_s = m.groups()
+        untrash, keep_s, as_s, at_s = parsed
         keep = int(keep_s)
         self._check_idx(keep)
 
@@ -114,17 +139,21 @@ class ResolutionThunk:
             os.path.dirname(path), ".vdf_trash"
         )
         os.makedirs(trash_dir, exist_ok=True)
-        digest = _sha256(path)
-        # content already in the trash: just delete the duplicate copy
-        for existing in os.listdir(trash_dir):
-            ep = os.path.join(trash_dir, existing)
-            if os.path.isfile(ep) and _sha256(ep) == digest:
-                os.unlink(path)
-                self.trashed[path] = ep
-                return f"deleted {path} (identical file already trashed)"
-        dst = _collision_free(
-            os.path.join(trash_dir, os.path.basename(path))
-        )
+        # already-trashed dedup compares ONLY against the same-basename
+        # trash target, like the reference (resolution_thunk.rs:500-547's
+        # is_already_trashed on get_trash_path) — scanning the whole
+        # trash dir re-hashed every trashed file per operation.  Sizes
+        # gate the sha256 (different size can never be identical).
+        target = os.path.join(trash_dir, os.path.basename(path))
+        if (
+            os.path.isfile(target)
+            and os.path.getsize(target) == os.path.getsize(path)
+            and _sha256(target) == _sha256(path)
+        ):
+            os.unlink(path)
+            self.trashed[path] = target
+            return f"deleted {path} (identical file already trashed)"
+        dst = _collision_free(target)
         _move_with_exdev_fallback(path, dst)
         self.trashed[path] = dst
         return f"trashed {path} -> {dst}"
@@ -133,8 +162,13 @@ class ResolutionThunk:
         src = self.trashed.get(path)
         if not src or not os.path.exists(src):
             raise ValueError(f"no trashed copy of {path}")
-        _move_with_exdev_fallback(src, path)
+        # the original slot may have been reused (e.g. '0 as 1' renamed
+        # the keeper onto it): never clobber — restore beside it
+        dst = _collision_free(path)
+        _move_with_exdev_fallback(src, dst)
         del self.trashed[path]
+        if dst != path:
+            return f"untrashed {path} -> {dst} (original name taken)"
         return f"untrashed {path}"
 
 

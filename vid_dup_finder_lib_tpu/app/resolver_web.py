@@ -43,8 +43,8 @@ THUMB_HEIGHT = 150  # px, like the montage thumbs (match_group_ext.rs:126)
 THUMB_CACHE_SIZE = 50  # lru_cache.rs:31
 
 
-def _thumb_strip_jpeg(path: str) -> bytes | None:
-    """Decode <= THUMB_FRAMES frames (step 8), resize to 150 px height,
+def _thumb_strip_jpeg(path: str, n_frames: int = THUMB_FRAMES) -> bytes | None:
+    """Decode <= n_frames frames (step 8), resize to 150 px height,
     hstack into one strip, JPEG-encode.  None if undecodable."""
     import cv2
     import numpy as np
@@ -52,7 +52,7 @@ def _thumb_strip_jpeg(path: str) -> bytes | None:
     cap = cv2.VideoCapture(path)
     frames = []
     try:
-        for k in range(THUMB_FRAMES):
+        for k in range(n_frames):
             cap.set(cv2.CAP_PROP_POS_FRAMES, k * THUMB_FRAME_STEP)
             ok, img = cap.read()
             if not ok:
@@ -83,11 +83,19 @@ class ResolverWebApp:
         self,
         thunks: list[ResolutionThunk],
         player: PlayerThread | None = None,
+        max_thumbs: int | None = None,
     ) -> None:
         self.thunks = thunks
-        # the TUI's (path, mtime)-keyed LRU, rendering JPEG strips here
+        # the TUI's (path, mtime)-keyed LRU, rendering JPEG strips here;
+        # --gui-max-thumbs caps the frames per strip
+        n_frames = (
+            max(1, min(THUMB_FRAMES, max_thumbs))
+            if max_thumbs
+            else THUMB_FRAMES
+        )
         self.thumbs = ThumbLruCache(
-            capacity=THUMB_CACHE_SIZE, render=_thumb_strip_jpeg
+            capacity=THUMB_CACHE_SIZE,
+            render=lambda p: _thumb_strip_jpeg(p, n_frames),
         )
         self._prerender = Prerenderer(self.thumbs)
         self.player = player or PlayerThread()
@@ -290,10 +298,11 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError:
                 self._json(400, {"error": "bad group index"})
                 return
-            self._json(
-                200, self.app.state(gi, with_stats="stats" in q)
-            )
-            self.app.prerender_next(gi)
+            st = self.app.state(gi, with_stats="stats" in q)
+            self._json(200, st)
+            # use the CLAMPED index: raw negative g crashed (or
+            # prerendered the wrong group via negative indexing)
+            self.app.prerender_next(st["group"])
         elif url.path == "/thumb":
             try:
                 t = self.app.thunks[_index(q["g"][0], len(self.app.thunks))]
@@ -362,6 +371,7 @@ def start_resolver_web(
     trash_dir: str | None = None,
     host: str = "127.0.0.1",
     port: int = 0,
+    max_thumbs: int | None = None,
 ) -> tuple[ThreadingHTTPServer, ResolverWebApp]:
     """Start the resolver web server on a background thread; returns the
     (server, app) pair — the caller owns shutdown (tests drive this)."""
@@ -369,7 +379,7 @@ def start_resolver_web(
         ResolutionThunk.from_matchgroup(g, cache=cache, trash_dir=trash_dir)
         for g in groups
     ]
-    app = ResolverWebApp(thunks)
+    app = ResolverWebApp(thunks, max_thumbs=max_thumbs)
     handler = type("BoundHandler", (_Handler,), {"app": app})
     server = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -382,10 +392,12 @@ def run_resolver_web(
     trash_dir: str | None = None,
     host: str = "127.0.0.1",
     port: int = 8917,
+    max_thumbs: int | None = None,
 ) -> None:
     """Blocking entry point for the CLI (--gui-web): serve until Ctrl-C."""
     server, app = start_resolver_web(
-        groups, cache=cache, trash_dir=trash_dir, host=host, port=port
+        groups, cache=cache, trash_dir=trash_dir, host=host, port=port,
+        max_thumbs=max_thumbs,
     )
     bound = server.server_address
     print(

@@ -206,6 +206,12 @@ def _hash_videos_device_preproc(
                 np.ascontiguousarray(row), p, dur
             )
 
+    # RAW frames are big (a 1080p stack is ~33 MB vs ~4 KB for a cube):
+    # bound each resolution group by BYTES as well as count, or a
+    # high-resolution library buffers multiple GB on this host
+    max_group_bytes = int(
+        os.environ.get("VDF_PREPROC_BATCH_BYTES", str(512 * 2**20))
+    )
     groups: dict[tuple[int, int], list] = {}
     done = 0
     total = len(paths)
@@ -218,7 +224,11 @@ def _hash_videos_device_preproc(
             else:
                 res = frames.shape[1:]
                 groups.setdefault(res, []).append(item)
-                if len(groups[res]) >= batch_size:
+                group_bytes = len(groups[res]) * frames.nbytes
+                if (
+                    len(groups[res]) >= batch_size
+                    or group_bytes >= max_group_bytes
+                ):
                     flush(groups.pop(res))
             if progress:
                 progress(done, total)
