@@ -218,6 +218,11 @@ def test_resolution_rejects_garbage(tmp_path):
 def _run_cli(args, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the env var alone is overridden by this machine's site hook; the
+    # package honors VDF_JAX_PLATFORM via jax.config.update before any
+    # backend initializes — without it these subprocess tests silently
+    # ran on the real TPU (and hung whenever the dev tunnel wedged)
+    env["VDF_JAX_PLATFORM"] = "cpu"
     env["PYTHONPATH"] = (
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         + os.pathsep

@@ -11,6 +11,23 @@ Public surface mirrors the reference's re-exports
 tunables, and the error type.
 """
 
+import os as _os
+
+# Deployment hook: force the jax platform before any backend
+# initializes.  On hosts where a site hook pre-imports jax and pins a
+# device plugin, the standard JAX_PLATFORMS env var set for a CHILD
+# process is silently overridden — `jax.config.update` before first
+# device use is the only reliable switch (subprocess tests set
+# VDF_JAX_PLATFORM=cpu so they never touch, or hang on, a real device).
+_plat = _os.environ.get("VDF_JAX_PLATFORM")
+if _plat:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from .definitions import (
     Cropdetect,
     DCT_SIZE,
