@@ -64,8 +64,24 @@ def _build():
 _HASH_CUBES = None
 
 
+def _batch_bucket(b: int) -> int:
+    """Fixed compiled batch shapes: powers of two up to 256, then
+    multiples of 256.  jax.jit specializes per exact batch size, and on
+    this deployment each NEW shape is a minutes-long remote compile — a
+    6-video cache update must not compile a one-off uint8[6,...]
+    executable."""
+    if b <= 256:
+        n = 8
+        while n < b:
+            n *= 2
+        return n
+    return -(-b // 256) * 256
+
+
 def hash_cubes_device_async(frames16: np.ndarray):
-    """Dispatch a batch hash without blocking; returns the device array.
+    """Dispatch a batch hash without blocking; returns the device array
+    (bucket-padded: rows past the input batch are pad garbage — callers
+    zip against their own metadata or slice).
 
     JAX dispatch is asynchronous, so the caller can keep decoding the next
     batch while this one computes (the double-buffered streaming pattern).
@@ -79,6 +95,15 @@ def hash_cubes_device_async(frames16: np.ndarray):
         DCT_SIZE,
         DCT_SIZE,
     ), frames16.shape
+    b = frames16.shape[0]
+    bucket = _batch_bucket(b)
+    if bucket != b:
+        frames16 = np.concatenate(
+            [
+                frames16,
+                np.zeros((bucket - b,) + frames16.shape[1:], np.uint8),
+            ]
+        )
     return _HASH_CUBES(frames16)
 
 
@@ -87,4 +112,5 @@ def hash_cubes_device(frames16: np.ndarray) -> np.ndarray:
 
     Returns packed uint32[B, 32] as a NumPy array.
     """
-    return np.asarray(hash_cubes_device_async(frames16))
+    b = frames16.shape[0]
+    return np.asarray(hash_cubes_device_async(frames16))[:b]

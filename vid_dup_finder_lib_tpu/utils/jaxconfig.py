@@ -23,7 +23,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: with a >= 1s floor, small programs (e.g. the
+        # batch hash executable) compiled sub-second on a healthy remote
+        # helper and were never persisted — then recompiled from scratch
+        # on every run, hanging whenever the helper degrades
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update(
             "jax_persistent_cache_min_entry_size_bytes", -1
         )
