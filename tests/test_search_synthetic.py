@@ -392,3 +392,68 @@ def test_chunked_device_refs_matches_loop(monkeypatch):
     monkeypatch.setattr(search_mod, "_on_tpu", lambda: True)
     got_pallas = Search(cands).search_with_references_batched(refs, tol)
     assert got_pallas == expected
+
+
+def test_dense_adjacency_stress_exact_groups_and_replay_time():
+    """Dense-adjacency regime (VERDICT r2 weak #7): ~27% of rows sit in
+    512-member duplicate clusters, yielding ~2.1M in-tolerance pairs at
+    n=30k.  Groups must be EXACTLY the planted clusters (greedy consume
+    semantics, search_algorithm.rs:131-170: the first member swallows the
+    whole cluster), and the host replay over the CSR adjacency must run
+    in vectorized time — the old per-pair Python list build walled here.
+    """
+    import time
+
+    from vid_dup_finder_lib_tpu.search import Search
+
+    rng = np.random.default_rng(9)
+    n = 30_000
+    cluster_size = 512
+    n_clusters = 16  # 16 * 512 = 8192 rows ~ 27% of the library
+
+    hashes = []
+    durs = np.sort(rng.integers(30, 7200, n)).astype(np.int64)
+    for i in range(n):
+        hashes.append(
+            VideoHash.random_hash(rng)
+            .with_src_path(f"/v/{i:06}.mp4")
+            .with_duration(int(durs[i]))
+        )
+
+    # grid-spaced starts so cluster ranges can never overlap
+    starts = (rng.choice(n // 1024 - 1, n_clusters, replace=False)) * 1024
+    expected_groups = []
+    for st in sorted(starts.tolist()):
+        seed_hash = hashes[st]
+        for k in range(1, cluster_size):
+            # <= 60 flips from the seed: pairwise <= 120 << tol 300,
+            # while random rows sit ~500 bits away from everything
+            hashes[st + k] = (
+                seed_hash
+                .hash_with_spatial_distance(60, rng)
+                .with_src_path(hashes[st + k].src_path)
+                .with_duration(seed_hash.duration)
+            )
+        member_paths = sorted(
+            hashes[st + k].src_path for k in range(cluster_size)
+        )
+        # greedy: first member (lowest path at equal duration) consumes
+        # the rest in ascending order, then appends itself
+        expected_groups.append(tuple(member_paths[1:] + [member_paths[0]]))
+
+    t0 = time.perf_counter()
+    s = Search(hashes)
+    s._ensure_adjacency(300, "host")
+    t_adj = time.perf_counter() - t0
+    n_pairs = int(s._adj_off[-1])
+    assert n_pairs > 2_000_000, n_pairs
+
+    t0 = time.perf_counter()
+    groups = s.search_self(0.3, backend="host")
+    t_replay = time.perf_counter() - t0
+
+    assert len(groups) == n_clusters
+    assert sorted(tuple(g) for g in groups) == sorted(expected_groups)
+    # replay must be CSR-vectorized: generous CI bound, but far below
+    # what a per-pair Python walk over 2.1M pairs costs
+    assert t_replay < 5.0, (t_replay, t_adj, n_pairs)

@@ -90,7 +90,10 @@ class Search:
         self._durations = np.array(
             [e.duration for e in self.entries], dtype=np.int64
         )
-        self._adjacency: list[np.ndarray] | None = None
+        # CSR adjacency: row i's in-tolerance candidates (sorted, j > i)
+        # are _adj_j[_adj_off[i] : _adj_off[i + 1]]
+        self._adj_j: np.ndarray | None = None
+        self._adj_off: np.ndarray | None = None
         self._tol_of_adjacency: int | None = None
 
     def seed(self, new_entries: Iterable[VideoHash]) -> None:
@@ -101,7 +104,7 @@ class Search:
         self._durations = np.array(
             [e.duration for e in self.entries], dtype=np.int64
         )
-        self._adjacency = None
+        self._adj_j = self._adj_off = None
 
     # -- distance plumbing ---------------------------------------------------
 
@@ -112,7 +115,7 @@ class Search:
         """Precompute, for every entry i, the sorted candidate indices j > i
         within the self-search duration window and Hamming tolerance."""
         if (
-            self._adjacency is not None
+            self._adj_j is not None
             and self._tol_of_adjacency == tolerance_int
         ):
             return
@@ -126,10 +129,11 @@ class Search:
             tolerance_int,
             backend=backend,
         )
-        adjacency: list[list[int]] = [[] for _ in range(n)]
-        for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
-            adjacency[i].append(j)
-        self._adjacency = [np.array(a, dtype=np.int64) for a in adjacency]
+        # every backend returns pairs lexsorted by (i, j), so the CSR
+        # build is two vectorized ops — a per-pair Python append walled
+        # at dense-adjacency scale (millions of pairs)
+        self._adj_j = pairs_j
+        self._adj_off = np.searchsorted(pairs_i, np.arange(n + 1))
         self._tol_of_adjacency = tolerance_int
 
     def _self_search_bounds(self) -> np.ndarray:
@@ -173,18 +177,31 @@ class Search:
             if matched[lhs]:
                 continue
             matched[lhs] = True
-            match_vec: list[str] = []
             if use_adjacency:
-                assert self._adjacency is not None
-                cands = self._adjacency[lhs]
-            else:
-                cands = range(lhs + 1, int(bounds[lhs]))
-            for j in cands:
-                if matched[j]:
+                # greedy consume, vectorized: within one target's scan
+                # every still-unmatched in-tolerance candidate is
+                # consumed (search_algorithm.rs:149-156) — no per-j
+                # decision depends on an earlier j of the SAME scan, so
+                # the boolean take preserves the reference's consume
+                # order exactly while keeping dense-adjacency replay
+                # (millions of pairs) off the Python bytecode path.
+                assert self._adj_j is not None and self._adj_off is not None
+                cands = self._adj_j[
+                    self._adj_off[lhs] : self._adj_off[lhs + 1]
+                ]
+                sel = cands[~matched[cands]]
+                if sel.size == 0:
                     continue
-                if use_adjacency or self._distance(lhs, int(j)) <= tol:
-                    match_vec.append(self.entries[int(j)].src_path)
-                    matched[j] = True
+                match_vec = [self.entries[int(j)].src_path for j in sel]
+                matched[sel] = True
+            else:
+                match_vec = []
+                for j in range(lhs + 1, int(bounds[lhs])):
+                    if matched[j]:
+                        continue
+                    if self._distance(lhs, int(j)) <= tol:
+                        match_vec.append(self.entries[int(j)].src_path)
+                        matched[j] = True
             if match_vec:
                 match_vec.append(self.entries[lhs].src_path)
                 ret.append(match_vec)
