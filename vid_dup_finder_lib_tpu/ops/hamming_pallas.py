@@ -225,7 +225,10 @@ def _build_chunk(interpret: bool):
         else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
     )
 
-    def one_launch(scalars, pm1, bounds, row_lo):
+    def one_launch(scalars, rows_pm, cols_pm, bounds, row_lo):
+        # rows_pm and cols_pm are usually the SAME array (self-search);
+        # the ring backend passes its local row window and the parked
+        # ppermute'd column block as distinct operands.
         packed = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -235,7 +238,7 @@ def _build_chunk(interpret: bool):
             compiler_params=compiler_params,
             interpret=interpret,
         )(
-            scalars, pm1, pm1, bounds, row_lo,
+            scalars, rows_pm, cols_pm, bounds, row_lo,
             jnp.asarray(pow_lo_np, dtype=jnp.bfloat16),
             jnp.asarray(pow_hi_np, dtype=jnp.bfloat16),
         )
@@ -331,7 +334,7 @@ def banded_adjacency_pallas_v4(
     fn = _build_chunk(interpret)
     scal0 = jnp.zeros((4 + 3 * R_TILES,), jnp.int32)
     compiled = fn.lower(
-        scal0, state.pm1, state.bounds_dev, state.row_lo_dev
+        scal0, state.pm1, state.pm1, state.bounds_dev, state.row_lo_dev
     ).compile()
     group_stack, super_stack, extract_tiles = _v4_jits()
 
@@ -400,7 +403,7 @@ def banded_adjacency_pallas_v4(
                 int(state.min_bound[rt]), int(state.max_row_lo[rt]),
             )
             p, c = compiled(
-                jnp.asarray(scal), state.pm1, state.bounds_dev,
+                jnp.asarray(scal), state.pm1, state.pm1, state.bounds_dev,
                 state.row_lo_dev,
             )
             if interpret:
@@ -457,11 +460,11 @@ def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
     chunk_fn = _build_chunk(interpret)
 
     @jax.jit
-    def sweep(scalars_all, pm1, bounds, row_lo):
+    def sweep(scalars_all, rows_pm, cols_pm, bounds, row_lo):
         """scalars_all: int32[sweep_calls, 4 + 3*R_TILES] -> stacked outputs."""
 
         def body(_, scal):
-            packed, counts = chunk_fn(scal, pm1, bounds, row_lo)
+            packed, counts = chunk_fn(scal, rows_pm, cols_pm, bounds, row_lo)
             return None, (packed, counts)
 
         # unroll amortizes the device while-loop overhead (~0.55 ms/iter
@@ -569,14 +572,14 @@ def _build_chunk_counts(interpret: bool):
         else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
     )
 
-    def one_launch(scalars, pm1, bounds, row_lo):
+    def one_launch(scalars, rows_pm, cols_pm, bounds, row_lo):
         counts = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((R_TILES, 128), jnp.int32),
             compiler_params=compiler_params,
             interpret=interpret,
-        )(scalars, pm1, pm1, bounds, row_lo)
+        )(scalars, rows_pm, cols_pm, bounds, row_lo)
         return counts[:, 0]  # all 128 lanes carry the same value
 
     return jax.jit(one_launch)
@@ -589,12 +592,12 @@ def _build_sweep_counts(interpret: bool, sweep_calls: int):
     chunk_fn = _build_chunk_counts(interpret)
 
     @jax.jit
-    def sweep(scalars_all, pm1, bounds, row_lo):
+    def sweep(scalars_all, rows_pm, cols_pm, bounds, row_lo):
         """int32[sweep_calls, 4 + 3*R_TILES] -> int32[sweep_calls, R_TILES]
         per-row-tile match counts (the whole launch stripe summed)."""
 
         def body(_, scal):
-            return None, chunk_fn(scal, pm1, bounds, row_lo)
+            return None, chunk_fn(scal, rows_pm, cols_pm, bounds, row_lo)
 
         _, counts_all = jax.lax.scan(body, None, scalars_all, unroll=8)
         return counts_all
@@ -625,9 +628,9 @@ def _build_phase_b(interpret: bool, sweep_calls: int):
     chunk_fn = _build_chunk(interpret)
 
     @jax.jit
-    def run(scalars_all, pm1, bounds, row_lo):
+    def run(scalars_all, rows_pm, cols_pm, bounds, row_lo):
         def body(_, scal):
-            packed, _ = chunk_fn(scal, pm1, bounds, row_lo)
+            packed, _ = chunk_fn(scal, rows_pm, cols_pm, bounds, row_lo)
             return None, packed
 
         _, packed_all = jax.lax.scan(body, None, scalars_all, unroll=4)
@@ -1448,7 +1451,8 @@ def banded_adjacency_pallas(
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         counts = counts_fn(
-            jnp.asarray(scalars_all), pm1, bounds_dev, state.row_lo_dev
+            jnp.asarray(scalars_all), pm1, pm1, bounds_dev,
+            state.row_lo_dev,
         )
         ph["dispatch"] += time.perf_counter() - t0
         ph["batches"] += 1
@@ -1482,7 +1486,8 @@ def banded_adjacency_pallas(
         scalars_all = np.zeros((sweep_calls, 4 + 3 * R_TILES), np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         out = run(
-            jnp.asarray(scalars_all), pm1, bounds_dev, state.row_lo_dev
+            jnp.asarray(scalars_all), pm1, pm1, bounds_dev,
+            state.row_lo_dev,
         )
         results.append((out, sweep_calls, batch, w_start))
     for out, sweep_calls, batch, w_start in results:
@@ -1540,7 +1545,7 @@ def _phase_b_fallback(
         scal = np.zeros((1, 4 + 3 * R_TILES), np.int32)
         _fill_scalars(scal, [(rt0, cts)], state, tolerance_int, n, w_start)
         packed_t, _ = fn(
-            jnp.asarray(scal[0]), state.pm1, state.bounds_dev,
+            jnp.asarray(scal[0]), state.pm1, state.pm1, state.bounds_dev,
             state.row_lo_dev,
         )
         tiles = np.asarray(packed_t)
@@ -1682,7 +1687,8 @@ def _banded_adjacency_onepass(
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         packed_all, counts_all = sweep_fn(
-            jnp.asarray(scalars_all), pm1, bounds_dev, state.row_lo_dev
+            jnp.asarray(scalars_all), pm1, pm1, bounds_dev,
+            state.row_lo_dev,
         )
         ph["dispatch"] += time.perf_counter() - t0
         ph["batches"] += 1
