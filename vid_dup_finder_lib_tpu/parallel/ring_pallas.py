@@ -1,0 +1,587 @@
+"""Multi-chip banded search: the int8 Pallas sweep over a ppermute ring.
+
+This is the production multi-chip backend behind ``search(backend="ring")``
+(it replaces the round-2 bf16 full-rectangle demonstrator).  Layout and
+algorithm (SURVEY.md section 2.7's blueprint; semantics preserved:
+``search_algorithm.rs:81-171``):
+
+* The duration-sorted PACKED library (128 B/hash) is sharded over a 1D
+  ``jax.sharding.Mesh``: shard ``d`` owns the contiguous row block
+  ``[d * Ns, (d + 1) * Ns)``.
+* A copy of the packed matrix rotates BACKWARD around the ring with
+  ``jax.lax.ppermute`` — after ``s`` rotations shard ``d`` holds the
+  packed rows of block ``d + s``.  Only packed bytes ride the ICI
+  (8x less traffic than rotating the +/-1 int8 expansion).
+* Because hashes are duration-sorted, each row's candidate window
+  ``[i + 1, bounds[i])`` is a near-diagonal band: the host planner emits
+  launches ONLY for (shard, step) pairs whose column block intersects the
+  band, so the ring stops after ``k_max + 1`` steps (the band's block
+  span), NOT ``n_devices`` steps — per-chip MXU work is O(n * band /
+  n_chips) and the full O(N^2) rectangle is never touched.
+* Each shard runs the exact same two-phase banded sweep as the
+  single-chip path — ``ops/hamming_pallas``'s counts-only kernel over
+  every launch, then the packing kernel + fused word extraction over the
+  rare launches that contain matches — via ``shard_map``: per-shard
+  launch scalars ride a sharded scalar array, so one SPMD program serves
+  every shard (padded launches carry tol = -1 and match nothing).
+* Window composition (>HBM libraries x multi-chip): the +/-1 operands
+  are materialized per ROW WINDOW of each shard (``window_rows``), with
+  the column operand a matching window of the parked block — per-shard
+  live memory is O(window + band) +/-1 bytes plus the packed shard
+  (Ns / 8 KB), never O(Ns) * 1 KB.  The default window is the whole
+  shard (one window) when it fits.
+
+Pad-column guard: the parked block is zero-padded so a launch's
+BAND_TILES stripe may overhang the block's end; overhang columns get
+masked because each launch's ``n`` scalar is clamped to the block end
+(a zero-packed pad column unpacks to the all-(-1) vector, which a real
+all-zero hash WOULD match at distance 0 — the clamp makes that
+impossible rather than unlikely).
+
+Exactness: pairs come out in global lexicographic order, so the host
+greedy replay produces groups identical to every single-chip backend.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import numpy as np
+
+from ..definitions import HASH_BITS_PADDED
+from ..ops import hamming_pallas as hp
+
+# sized-nonzero capacity of one phase-B batch PER SHARD (matching words;
+# overflow falls back to an exact host recompute of that batch)
+RING_EXTRACT_CAP = int(os.environ.get("VDF_RING_EXTRACT_CAP", "8192"))
+
+
+def _is_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _align() -> int:
+    return int(np.lcm(hp.TILE_M * hp.R_TILES, hp.TILE_N))
+
+
+@functools.cache
+def _ring_jits(
+    axis: str,
+    mesh,
+    interpret: bool,
+    sweep_calls: int,
+    pb_calls: int,
+    w_rows: int,
+    cw_rows: int,
+    ns: int,
+):
+    """Compiled SPMD ring primitives for one geometry.
+
+    Returns (counts_fn, phase_b_fn, rotate_fn, shard_fn):
+    * counts_fn(own_pk, col_pk, bounds_c, row_lo_c, scalars, s_w, c_off)
+      -> int32[n_dev * sweep_calls, R_TILES] per-launch match counts
+    * phase_b_fn(...)
+      -> int32[n_dev, 2 * CAP + 1] per-shard [word locs | words | total]
+    * rotate_fn(col_pk) -> col_pk rotated one step backward on the ring
+    * shard_fn(packed_global) -> the sharded device copy
+    """
+    from ..utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n_scal = 4 + 3 * hp.R_TILES
+    counts_chunk = hp._build_chunk_counts(interpret)
+    pack_chunk = hp._build_chunk(interpret)
+
+    def unpack_rows(pk):
+        """uint32[K, 32] -> PM_DTYPE[K, 1024] over {-1, +1}, chunked under
+        lax.scan (an unchunked bit-expansion materializes a [K, 32, 32]
+        temp — see ops/hamming_pallas._window_build_jit)."""
+        k = pk.shape[0]
+        chunk = math.gcd(k, 4096)
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+
+        def body(_, pkc):
+            bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
+            pm_c = (
+                bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2
+                - 1
+            )
+            if hp.PM_DTYPE != "int8":
+                pm_c = pm_c.astype(jnp.bfloat16)
+            return None, pm_c
+
+        _, pm = jax.lax.scan(body, None, pk.reshape(-1, chunk, 32))
+        return pm.reshape(k, HASH_BITS_PADDED)
+
+    def operands(own_pk, col_pk, bounds_c, row_lo_c, s_w, c_off):
+        """Window the per-shard operands: rows [s_w, s_w + w_rows) of the
+        own block, cols [c_off, c_off + cw_rows) of the parked block
+        (zero-padded past its end), and the row metadata reshaped from
+        its lane-compact [ns // 128, 128] storage."""
+        rows_pk = jax.lax.dynamic_slice(own_pk, (s_w, 0), (w_rows, 32))
+        rows_pm = unpack_rows(rows_pk)
+        col_src = jnp.concatenate(
+            [col_pk, jnp.zeros((cw_rows, 32), jnp.uint32)]
+        )
+        cols_pk = jax.lax.dynamic_slice(col_src, (c_off, 0), (cw_rows, 32))
+        cols_pm = unpack_rows(cols_pk)
+        b = jax.lax.dynamic_slice(
+            bounds_c, (s_w // 128, 0), (w_rows // 128, 128)
+        ).reshape(w_rows, 1)
+        r = jax.lax.dynamic_slice(
+            row_lo_c, (s_w // 128, 0), (w_rows // 128, 128)
+        ).reshape(w_rows, 1)
+        return rows_pm, cols_pm, b, r
+
+    def counts_body(own_pk, col_pk, bounds_c, row_lo_c, scalars, s_w, c_off):
+        scal = scalars.reshape(sweep_calls, n_scal)
+        rows_pm, cols_pm, b, r = operands(
+            own_pk, col_pk, bounds_c, row_lo_c, s_w, c_off
+        )
+
+        def body(_, sc):
+            return None, counts_chunk(sc, rows_pm, cols_pm, b, r)
+
+        _, counts = jax.lax.scan(body, None, scal)
+        return counts  # [sweep_calls, R_TILES]
+
+    def phase_b_body(own_pk, col_pk, bounds_c, row_lo_c, scalars, s_w, c_off):
+        scal = scalars.reshape(pb_calls, n_scal)
+        rows_pm, cols_pm, b, r = operands(
+            own_pk, col_pk, bounds_c, row_lo_c, s_w, c_off
+        )
+
+        def body(_, sc):
+            packed_t, _ = pack_chunk(sc, rows_pm, cols_pm, b, r)
+            return None, packed_t
+
+        _, packed_all = jax.lax.scan(body, None, scal)
+        flat = packed_all.reshape(-1)
+        nz = flat != 0
+        total = jnp.sum(nz.astype(jnp.int32))
+        loc = jnp.nonzero(nz, size=RING_EXTRACT_CAP, fill_value=-1)[
+            0
+        ].astype(jnp.int32)
+        val = jnp.take(flat, jnp.maximum(loc, 0))
+        return jnp.concatenate([loc, val, total[None]])[None, :]
+
+    def rotate_body(col_pk):
+        n_dev = jax.lax.psum(1, axis)
+        # backward ring: shard d receives block (d + 1) — after s steps
+        # shard d holds the packed rows of block d + s (columns AHEAD of
+        # its rows, the only direction the sorted band reaches)
+        perm = [(t, (t - 1) % n_dev) for t in range(n_dev)]
+        return jax.lax.ppermute(col_pk, axis, perm)
+
+    blk = P(axis, None)
+    counts_fn = jax.jit(
+        shard_map(
+            counts_body,
+            mesh=mesh,
+            in_specs=(blk, blk, blk, blk, P(axis, None, None), P(), P()),
+            out_specs=blk,
+            check_vma=False,
+        )
+    )
+    phase_b_fn = jax.jit(
+        shard_map(
+            phase_b_body,
+            mesh=mesh,
+            in_specs=(blk, blk, blk, blk, P(axis, None, None), P(), P()),
+            out_specs=blk,
+            check_vma=False,
+        )
+    )
+    rotate_fn = jax.jit(
+        shard_map(
+            rotate_body,
+            mesh=mesh,
+            in_specs=(blk,),
+            out_specs=blk,
+            check_vma=False,
+        )
+    )
+
+    def shard_fn(arr_np):
+        return jax.device_put(arr_np, NamedSharding(mesh, blk))
+
+    return counts_fn, phase_b_fn, rotate_fn, shard_fn
+
+
+def _plan_ring_launches(
+    n: int,
+    n_dev: int,
+    ns: int,
+    bounds_c: np.ndarray,
+    w_rows: int,
+    n_win: int,
+):
+    """Host launch planner.
+
+    Returns (launches, k_max): ``launches[(s, w, d)]`` is the list of
+    (global row tile, global first col tile) stripes shard ``d`` runs at
+    ring step ``s`` within row window ``w``.  Only (step, block)
+    intersections of the duration band are emitted — the block-level
+    band skipping that keeps per-chip work O(band / n_chips).
+    """
+    tile_m, tile_n, band = hp.TILE_M, hp.TILE_N, hp.BAND_TILES
+    launches: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+    k_max = 0
+    for d in range(n_dev):
+        base = d * ns
+        if base >= n:
+            break
+        for rt_local in range(ns // tile_m):
+            r0 = base + rt_local * tile_m
+            if r0 >= n:
+                break
+            r1 = min(r0 + tile_m, n)
+            w = min((rt_local * tile_m) // w_rows, n_win - 1)
+            c_lo = r0 + 1
+            c_hi = int(bounds_c[r0:r1].max())
+            if c_hi <= c_lo:
+                continue
+            ct_start = c_lo // tile_n
+            ct_end = -(-c_hi // tile_n)
+            g_rt = r0 // tile_m
+            for s in range(n_dev - d):
+                blk_ct0 = (d + s) * ns // tile_n
+                blk_ct1 = ((d + s + 1) * ns) // tile_n
+                a = max(ct_start, blk_ct0)
+                b = min(ct_end, blk_ct1)
+                if a >= b:
+                    if blk_ct0 >= ct_end:
+                        break
+                    continue
+                k_max = max(k_max, s)
+                lst = launches.setdefault((s, w, d), [])
+                lst.extend((g_rt, ct0) for ct0 in range(a, b, band))
+    return launches, k_max
+
+
+def _fill_ring_scalars(
+    scal: np.ndarray,
+    batch: list[tuple[int, int]],
+    d: int,
+    s: int,
+    ns: int,
+    n: int,
+    s_w: int,
+    c_off: int,
+    tolerance_int: int,
+    min_bound: np.ndarray,
+    max_row_lo: np.ndarray,
+    w_rows: int,
+    cw_rows: int,
+) -> None:
+    """Per-shard launch scalars (layout: ops/hamming_pallas._build_chunk).
+    Row/col tile indices are RELATIVE to the windowed operands; absolute
+    ids ride the wbase scalar; the ``n`` scalar is clamped to the parked
+    block's end (the pad-column guard)."""
+    tile_m, tile_n = hp.TILE_M, hp.TILE_N
+    b0 = (d + s) * ns  # global first row of the parked block
+    blk_end = min(n, b0 + ns)
+    row_base_t = (d * ns + s_w) // tile_m
+    col_base_t = (b0 + c_off) // tile_n
+    for k, (g_rt, g_ct0) in enumerate(batch):
+        rel_rt = g_rt - row_base_t
+        rel_ct = g_ct0 - col_base_t
+        assert 0 <= rel_rt < w_rows // tile_m  # row tile inside its window
+        assert 0 <= rel_ct and (rel_ct + hp.BAND_TILES) * tile_n <= cw_rows, (
+            rel_ct,
+            cw_rows,
+        )
+        scal[k, 0] = tolerance_int
+        scal[k, 1] = blk_end
+        scal[k, 2] = rel_rt
+        scal[k, 3] = rel_ct
+        scal[k, 4] = min(int(min_bound[g_rt]), blk_end)
+        scal[k, 5] = int(max_row_lo[g_rt])
+        scal[k, 6] = col_base_t
+
+
+def _host_launch_pairs(
+    packed: np.ndarray,
+    bounds_c: np.ndarray,
+    tolerance_int: int,
+    g_rt: int,
+    g_ct0: int,
+    blk_end: int,
+    out_i: list,
+    out_j: list,
+) -> None:
+    """Exact host recompute of one launch (phase-B extraction-capacity
+    overflow fallback; NumPy popcount over the launch's rectangle)."""
+    n = packed.shape[0]
+    tile_m, tile_n, band = hp.TILE_M, hp.TILE_N, hp.BAND_TILES
+    r0 = g_rt * tile_m
+    r1 = min(r0 + tile_m, n)
+    c0 = g_ct0 * tile_n
+    c1 = min((g_ct0 + band) * tile_n, blk_end, n)
+    if r0 >= n or c1 <= c0:
+        return
+    dist = np.bitwise_count(
+        packed[r0:r1, None, :] ^ packed[None, c0:c1, :]
+    ).sum(axis=2)
+    rows = np.arange(r0, r1)[:, None]
+    cols = np.arange(c0, c1)[None, :]
+    adj = (
+        (dist <= tolerance_int)
+        & (cols > rows)
+        & (cols < bounds_c[r0:r1, None])
+    )
+    ii, jj = np.nonzero(adj)
+    out_i.append(ii.astype(np.int64) + r0)
+    out_j.append(jj.astype(np.int64) + c0)
+
+
+def _decode_ring_shard(
+    arr: np.ndarray,
+    batch: list[tuple[int, int]],
+    pb_calls: int,
+    out_i: list,
+    out_j: list,
+) -> bool:
+    """One shard's phase-B result ([word locs | words | total]) -> global
+    pairs.  Returns False on extraction-capacity overflow."""
+    cap = RING_EXTRACT_CAP
+    loc = arr[:cap]
+    val = arr[cap : 2 * cap].astype(np.int64) & 0xFFFFFFFF
+    total = int(arr[-1])
+    valid = loc >= 0
+    if total > int(valid.sum()):
+        return False
+    loc = loc[valid].astype(np.int64)
+    val = val[valid]
+    if loc.size == 0:
+        return True
+    shape = (
+        pb_calls,
+        hp.R_TILES,
+        hp.BAND_TILES,
+        hp.TILE_M // 32,
+        hp.TILE_N,
+    )
+    k, i, j, r, c = np.unravel_index(loc, shape)
+    keep = k < len(batch)
+    k, i, j, r, c, val = k[keep], i[keep], j[keep], r[keep], c[keep], val[keep]
+    if k.size == 0:
+        return True
+    g_rts = np.array([b[0] for b in batch], dtype=np.int64)
+    g_cts = np.array([b[1] for b in batch], dtype=np.int64)
+    rbase = (g_rts[k] + i) * hp.TILE_M + r * 32
+    cbase = (g_cts[k] + j) * hp.TILE_N + c
+    bits = (val[:, None] >> np.arange(32, dtype=np.int64)[None, :]) & 1
+    ww, bb = np.nonzero(bits)
+    out_i.append(rbase[ww] + bb)
+    out_j.append(cbase[ww])
+    return True
+
+
+def banded_adjacency_ring(
+    packed: np.ndarray,
+    bounds: np.ndarray,
+    tolerance_int: int,
+    mesh=None,
+    axis: str = "x",
+    interpret: bool | None = None,
+    window_rows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact banded adjacency over a device mesh (int8 Pallas ring).
+
+    Same contract as ``ops.hamming.banded_adjacency``: all pairs (i, j)
+    with i < j < bounds[i] and hamming(i, j) <= tolerance_int, in global
+    lexicographic order — the host greedy replay produces groups
+    identical to the single-chip backends.
+
+    ``window_rows`` (or VDF_RING_WINDOW_ROWS) bounds each shard's
+    resident +/-1 operands to a sliding row window — the ring x window
+    composition for libraries whose per-shard +/-1 expansion exceeds
+    HBM.  Default: one window spanning the shard.
+    """
+    import jax.numpy as jnp
+
+    n = packed.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    assert hp.R_TILES == 1, "the ring backend assumes single-row-tile chunks"
+    assert not hp.COLT, "the ring backend does not support VDF_COLT"
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh(axis=axis)
+    if interpret is None:
+        interpret = not _is_tpu()
+
+    n_dev = int(mesh.devices.size)
+    align = _align()
+    ns = -(-(-(-n // n_dev)) // align) * align
+    npad = ns * n_dev
+    tile_m, tile_n = hp.TILE_M, hp.TILE_N
+
+    bounds = np.asarray(bounds, dtype=np.int64)
+    bounds_c = np.minimum(bounds, n)
+
+    # row windows per shard
+    if window_rows is None:
+        env = os.environ.get("VDF_RING_WINDOW_ROWS")
+        window_rows = int(env) if env else ns
+    w_rows = min(max(-(-int(window_rows) // align) * align, align), ns)
+    n_win = -(-ns // w_rows)
+    w_starts = [min(w * w_rows, ns - w_rows) for w in range(n_win)]
+
+    # column-window span: rows' own window + the widest band + stripe pad
+    spans = bounds_c - np.arange(n)
+    max_span = int(spans.max()) if n else 0
+    pad_rows = (hp.BAND_TILES + 1) * tile_n
+    cw_rows = (
+        min(w_rows + -(-max(max_span, 1) // align) * align, ns) + pad_rows
+    )
+
+    # per-row-tile metadata (global)
+    n_tiles = npad // tile_m
+    min_bound = np.zeros(n_tiles, dtype=np.int64)
+    max_row_lo = np.full(n_tiles, hp._ROW_LO_SENTINEL, dtype=np.int64)
+    for rt in range(n_tiles):
+        r0 = rt * tile_m
+        if r0 >= n:
+            continue
+        r1 = min(r0 + tile_m, n)
+        min_bound[rt] = int(bounds_c[r0:r1].min())
+        if r1 == r0 + tile_m:
+            max_row_lo[rt] = r1 - 1
+
+    launches, k_max = _plan_ring_launches(
+        n, n_dev, ns, bounds_c, w_rows, n_win
+    )
+
+    sweep_calls = 8 if interpret else 64
+    pb_calls = 4 if interpret else 16
+    counts_fn, phase_b_fn, rotate_fn, shard_fn = _ring_jits(
+        axis, mesh, interpret, sweep_calls, pb_calls, w_rows, cw_rows, ns
+    )
+
+    # sharded device state
+    packed_pad = np.zeros((npad, 32), np.uint32)
+    packed_pad[:n] = packed
+    own_pk = shard_fn(packed_pad)
+    # row metadata in the lane-compact [rows // 128, 128] layout (a
+    # [rows, 1] int32 array is lane-padded 128x by TPU tiling)
+    bounds_np = np.full(npad, -1, np.int32)
+    bounds_np[:n] = bounds_c
+    row_lo_np = np.full(npad, hp._ROW_LO_SENTINEL, np.int32)
+    row_lo_np[:n] = np.arange(n, dtype=np.int32)
+    bounds_dev = shard_fn(bounds_np.reshape(-1, 128))
+    row_lo_dev = shard_fn(row_lo_np.reshape(-1, 128))
+
+    n_scal = 4 + 3 * hp.R_TILES
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    col_pk = own_pk
+
+    for s in range(k_max + 1):
+        # ---- phase A: counts over every launch of this ring step
+        step_pending: list[tuple[int, dict[int, list], object]] = []
+        for w in range(n_win):
+            per_shard = {
+                d: launches.get((s, w, d), []) for d in range(n_dev)
+            }
+            total = max((len(v) for v in per_shard.values()), default=0)
+            if total == 0:
+                continue
+            s_w = w_starts[w]
+            c_off = s_w if s == 0 else 0
+            for b0 in range(0, total, sweep_calls):
+                scal_np = np.zeros((n_dev, sweep_calls, n_scal), np.int32)
+                scal_np[:, :, 0] = -1  # padded launches match nothing
+                batch_by_shard: dict[int, list] = {}
+                for d in range(n_dev):
+                    batch = per_shard[d][b0 : b0 + sweep_calls]
+                    if not batch:
+                        continue
+                    batch_by_shard[d] = batch
+                    _fill_ring_scalars(
+                        scal_np[d], batch, d, s, ns, n, s_w, c_off,
+                        tolerance_int, min_bound, max_row_lo,
+                        w_rows, cw_rows,
+                    )
+                counts = counts_fn(
+                    own_pk, col_pk, bounds_dev, row_lo_dev,
+                    jnp.asarray(scal_np), jnp.int32(s_w), jnp.int32(c_off),
+                )
+                step_pending.append((w, batch_by_shard, counts))
+
+        # rotate early: the next step's column block moves while this
+        # step's counts drain and phase B runs (phase B keeps using the
+        # old col_pk handle)
+        col_pk_s = col_pk
+        if s < k_max:
+            col_pk = rotate_fn(col_pk)
+
+        # ---- drain counts; collect hit launches per (w, d)
+        hits: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for w, batch_by_shard, counts in step_pending:
+            cnp = np.asarray(counts).reshape(n_dev, sweep_calls, hp.R_TILES)
+            for d, k in zip(*np.nonzero(cnp.sum(axis=2) > 0)):
+                batch = batch_by_shard.get(int(d), [])
+                if int(k) < len(batch):
+                    hits.setdefault((w, int(d)), []).append(batch[int(k)])
+
+        # ---- phase B: re-run hit launches with the packing kernel
+        by_window: dict[int, dict[int, list]] = {}
+        for (w, d), lst in hits.items():
+            by_window.setdefault(w, {})[d] = lst
+        for w, shard_hits in sorted(by_window.items()):
+            s_w = w_starts[w]
+            c_off = s_w if s == 0 else 0
+            total = max(len(v) for v in shard_hits.values())
+            for b0 in range(0, total, pb_calls):
+                scal_np = np.zeros((n_dev, pb_calls, n_scal), np.int32)
+                scal_np[:, :, 0] = -1
+                batch_by_shard = {}
+                for d, lst in shard_hits.items():
+                    batch = lst[b0 : b0 + pb_calls]
+                    if not batch:
+                        continue
+                    batch_by_shard[d] = batch
+                    _fill_ring_scalars(
+                        scal_np[d], batch, d, s, ns, n, s_w, c_off,
+                        tolerance_int, min_bound, max_row_lo,
+                        w_rows, cw_rows,
+                    )
+                out = phase_b_fn(
+                    own_pk, col_pk_s, bounds_dev, row_lo_dev,
+                    jnp.asarray(scal_np), jnp.int32(s_w), jnp.int32(c_off),
+                )
+                arr = np.asarray(out)  # [n_dev, 2 * CAP + 1]
+                for d, batch in batch_by_shard.items():
+                    if not _decode_ring_shard(
+                        arr[d], batch, pb_calls, out_i, out_j
+                    ):
+                        # extraction overflow: exact host recompute
+                        blk_end = min(n, (d + s + 1) * ns)
+                        for g_rt, g_ct0 in batch:
+                            _host_launch_pairs(
+                                packed, bounds_c, tolerance_int,
+                                g_rt, g_ct0, blk_end, out_i, out_j,
+                            )
+
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    order = np.lexsort((jj, ii))
+    return ii[order], jj[order]

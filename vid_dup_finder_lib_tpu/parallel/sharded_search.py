@@ -12,13 +12,13 @@ Two scan variants share the ring layout:
 * ``ring_candidate_scan`` — fixed-shape per-row statistics (match count,
   best-match distance/index): the cheap probe for N too large to
   materialize adjacency.
-* ``banded_adjacency_ring`` — EXACT pair extraction: each rotation step
-  emits a bit-packed adjacency block (1 bit/pair, the same trick as
-  ``ops/hamming_pallas.py``) plus a per-shard match count; the host
-  fetches only the blocks that contain matches and replays the
-  reference's greedy consume over the gathered pairs.  This is the
-  multi-chip backend behind ``search(..., backend="ring")`` — it
-  produces groups identical to the single-chip paths.
+* ``banded_adjacency_ring`` (in ``ring_pallas``, re-exported here) —
+  EXACT pair extraction at production scale: the int8 banded Pallas
+  sweep runs per shard against packed column blocks rotated with
+  ``ppermute``, with block-level band skipping and sliding row
+  windows.  This is the multi-chip backend behind
+  ``search(..., backend="ring")`` — groups identical to the
+  single-chip paths.
 """
 
 from __future__ import annotations
@@ -178,182 +178,10 @@ def ring_candidate_scan(
     )
 
 
-@functools.cache
-def _build_ring_pair_step(axis: str):
-    """Sharded primitives for the exact-pair ring scan.
-
-    Returns (make_unpack, make_step): ``make_unpack(mesh)`` unpacks the
-    sharded packed matrix to +/-1 bf16 rows once; ``make_step(mesh)`` runs
-    ONE ring rotation — every shard computes its [Ns, Ns] distance tile
-    against the column block currently parked on it, masks with the
-    duration-band bounds, bit-packs the adjacency (32 pairs/word), and
-    ppermutes the column block to the next shard.  Host drives the n_dev
-    steps so each step's adjacency block can be fetched (count-gated) and
-    freed — per-shard live memory is O(Ns^2/32) words, not O(Ns * N).
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    def unpack_body(packed_local):
-        return _unpack_pm1_jnp(packed_local)
-
-    def step_body(pm_local, blk_pm, bounds_local, s, tol):
-        """One rotation step on each shard.
-
-        pm_local: bf16[Ns, 1024] (this shard's rows, fixed);
-        blk_pm: bf16[Ns, 1024] (the column block parked here at step s);
-        bounds_local: int32[Ns, 1] global column bound per row;
-        s, tol: int32 scalars (s is traced: one compile serves all steps).
-        Returns (packed_adj uint32[Ns, Ns//32], count int32[1, 1], blk_next).
-        """
-        n_dev = jax.lax.psum(1, axis)
-        d = jax.lax.axis_index(axis)
-        ns = pm_local.shape[0]
-        row_ids = d * ns + jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-        # after s forward rotations, shard d holds the block born on
-        # shard (d - s) mod n_dev
-        owner = jnp.mod(d - s, n_dev)
-        col_ids = owner * ns + jax.lax.broadcasted_iota(
-            jnp.int32, (1, ns), 1
-        )
-        dot = jax.lax.dot_general(
-            pm_local, blk_pm,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dist = ((HASH_BITS_PADDED - dot) * 0.5).astype(jnp.int32)
-        valid = (
-            (col_ids > row_ids)
-            & (col_ids < bounds_local)
-            & (dist <= tol)
-        )
-        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[
-            None, None, :
-        ]
-        packed_adj = jnp.sum(
-            valid.reshape(ns, ns // 32, 32).astype(jnp.uint32) * weights,
-            axis=-1,
-            dtype=jnp.uint32,
-        )
-        count = jnp.sum(valid, dtype=jnp.int32).reshape(1, 1)
-        perm = [(t, (t + 1) % n_dev) for t in range(n_dev)]
-        blk_next = jax.lax.ppermute(blk_pm, axis, perm)
-        return packed_adj, count, blk_next
-
-    def make_unpack(mesh):
-        return shard_map(
-            unpack_body,
-            mesh=mesh,
-            in_specs=(P(axis, None),),
-            out_specs=P(axis, None),
-        )
-
-    def make_step(mesh):
-        return shard_map(
-            step_body,
-            mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P()),
-            out_specs=(P(axis, None), P(axis, None), P(axis, None)),
-        )
-
-    return make_unpack, make_step
-
-
-@functools.cache
-def _jitted_ring_pair_fns(axis: str, mesh):
-    """jit-wrapped exact-pair ring primitives cached per (axis, mesh)."""
-    import jax
-
-    make_unpack, make_step = _build_ring_pair_step(axis)
-    return jax.jit(make_unpack(mesh)), jax.jit(make_step(mesh))
-
-
-def banded_adjacency_ring(
-    packed: np.ndarray,
-    bounds: np.ndarray,
-    tolerance_int: int,
-    mesh=None,
-    axis: str = "x",
-    inflight: int = 4,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Exact banded adjacency over a device mesh (ring ppermute scan).
-
-    Same contract as ``ops.hamming.banded_adjacency``: all pairs (i, j)
-    with i < j < bounds[i] and hamming(i, j) <= tolerance_int, in
-    lexicographic order — so the host greedy replay produces groups
-    identical to the single-chip backends
-    (search_algorithm.rs:81-171 semantics survive sharding unchanged).
-
-    ``inflight`` bounds how many rotation steps are enqueued ahead of the
-    count fetches, capping live adjacency memory at
-    inflight * N * Ns / 8 bytes while still pipelining dispatch.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    n = packed.shape[0]
-    if n == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    if mesh is None:
-        from .mesh import make_mesh
-
-        mesh = make_mesh(axis=axis)
-
-    n_dev = int(mesh.devices.size)
-    # per-shard rows: multiple of 256 so the bitpack reshape and TPU lane
-    # tiling both line up
-    ns = -(-n // n_dev)
-    ns = -(-ns // 256) * 256
-    npad = ns * n_dev
-
-    packed_pad = np.zeros((npad, packed.shape[1]), np.uint32)
-    packed_pad[:n] = packed
-    bounds_np = np.zeros((npad, 1), np.int32)  # pad rows match nothing
-    bounds_np[:n, 0] = np.minimum(np.asarray(bounds, dtype=np.int64), n)
-
-    unpack_fn, step_fn = _jitted_ring_pair_fns(axis, mesh)
-
-    out_i: list[np.ndarray] = []
-    out_j: list[np.ndarray] = []
-    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
-
-    def drain(entry) -> None:
-        s, adj, counts = entry
-        counts_np = np.asarray(counts)[:, 0]  # [n_dev]
-        for d in np.flatnonzero(counts_np > 0):
-            d = int(d)
-            block = np.asarray(adj[d * ns : (d + 1) * ns])  # [ns, ns//32]
-            owner = (d - s) % n_dev
-            bits = ((block[:, :, None] >> shifts) & 1).reshape(
-                ns, ns
-            ).astype(bool)
-            rr, cc = np.nonzero(bits)
-            out_i.append(d * ns + rr.astype(np.int64))
-            out_j.append(owner * ns + cc.astype(np.int64))
-
-    with mesh:
-        pm = unpack_fn(jnp.asarray(packed_pad))
-        blk = pm
-        bounds_dev = jnp.asarray(bounds_np)
-        pending: list[tuple[int, object, object]] = []
-        for s in range(n_dev):
-            adj, counts, blk = step_fn(
-                pm, blk, bounds_dev, jnp.int32(s), jnp.int32(tolerance_int)
-            )
-            pending.append((s, adj, counts))
-            if len(pending) >= inflight:
-                drain(pending.pop(0))
-        while pending:
-            drain(pending.pop(0))
-
-    if not out_i:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    ii = np.concatenate(out_i)
-    jj = np.concatenate(out_j)
-    order = np.lexsort((jj, ii))
-    return ii[order], jj[order]
+# The exact-pair ring backend lives in ``ring_pallas`` (round 3): the
+# int8 banded Pallas sweep composed with packed-block ppermute rotation
+# and sliding row windows.  Re-exported here for compatibility.
+from .ring_pallas import banded_adjacency_ring  # noqa: E402,F401
 
 
 @functools.cache
