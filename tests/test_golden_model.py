@@ -149,3 +149,44 @@ def test_device_hash_bit_exact_vs_golden_large_corpus():
         worst = max(worst, d)
     assert flips <= 8, f"{flips} flips over 512 cubes"
     assert worst <= 2, f"{worst} flips in a single hash"
+
+
+def test_fixed_point_resize_vs_f64_single_round():
+    """PARITY deviation 1 closure: the golden resize is the u8 fixed-point
+    two-pass (fast_image_resize's default U8 path); it may differ from the
+    previous single-round f64 model by at most 1 gray level, only at
+    rounding boundaries."""
+    from vid_dup_finder_lib_tpu.ops.golden import crop_resize_f64
+
+    rng = np.random.default_rng(21)
+    for shape in [(123, 217), (480, 640), (16, 16), (33, 1000)]:
+        frame = rng.integers(0, 256, shape, dtype=np.uint8)
+        a = crop_resize_golden(frame)
+        b = crop_resize_f64(frame)
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert d.max() <= 1, shape
+        # boundaries are rare: most pixels agree exactly
+        assert (d > 0).mean() < 0.25, shape
+
+
+def test_device_resize_bit_exact_vs_golden():
+    """The device fixed-point resize computes the SAME integers as the
+    host golden path — bit-exact cubes, no f32-drift tolerance."""
+    from vid_dup_finder_lib_tpu.crop import Crop
+    from vid_dup_finder_lib_tpu.ops.resize_device import (
+        resize_frames_device,
+    )
+
+    rng = np.random.default_rng(22)
+    for (h, w), crop in [
+        ((120, 160), None),
+        ((123, 217), None),
+        ((100, 100), Crop.from_edge_offsets((100, 100), 7, 11, 3, 5)),
+    ]:
+        frames = rng.integers(0, 256, (3, 16, h, w), dtype=np.uint8)
+        dev = resize_frames_device(frames, crop)
+        for b in range(frames.shape[0]):
+            exp = np.stack(
+                [crop_resize_golden(f, crop) for f in frames[b]]
+            )
+            assert np.array_equal(dev[b], exp), (h, w, b)

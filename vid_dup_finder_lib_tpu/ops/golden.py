@@ -4,10 +4,14 @@ This is the parity oracle for every device kernel: crop+resize -> center ->
 3D DCT-II -> sign -> bitpack, reproducing the reference's math exactly:
 
 * resize: ``fast_image_resize::Resizer::new()`` default = Lanczos3
-  convolution (``vid_dup_finder_common/src/resize_gray.rs:11-54``), computed
-  here as two separable weight-matrix products in f64 with a single final
-  round-to-u8 (the reference's u8 fixed-point path rounds after each axis;
-  the <=1 LSB difference is absorbed by the search tolerance).
+  convolution (``vid_dup_finder_common/src/resize_gray.rs:11-54``),
+  reproduced as the crate's actual U8 fixed-point two-pass arithmetic:
+  horizontal pass then vertical, i16 coefficients at the Normalizer16
+  precision (the largest p <= 15 whose rounded coefficients all fit in
+  i16), accumulation seeded with 2^(p-1) and arithmetic-shifted back with
+  a [0, 255] clamp — each pass rounds to u8, exactly like the crate
+  (``crop_resize_f64`` keeps the previous single-round f64 model for
+  comparison; the two differ by <= 1 gray level at rounding boundaries).
 * DCT: unnormalized DCT-II along each axis of the 16x16x16 cube
   (``raw_dct_ops.rs:107-142``); only coefficient *signs* survive, so any
   uniform positive per-axis scale is parity-equivalent.
@@ -85,13 +89,74 @@ def resize_weights(
     return w.astype(dtype)
 
 
+_FIR_MAX_PRECISION = 15  # i16 coefficient domain (Normalizer16)
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Rust's ``f64::round``: half-away-from-zero (numpy rounds half-even)."""
+    return np.where(x >= 0.0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _fir_i16_weights(w: np.ndarray) -> tuple[np.ndarray, int]:
+    """f64 weights -> (i16-domain integer weights, precision), exactly as
+    fast_image_resize's ``Normalizer16`` quantizes one axis' coefficient
+    set: the largest precision p <= 15 for which every coefficient times
+    2^p rounds into i16, then per-coefficient half-away rounding."""
+    vals = w.reshape(-1)
+    p = 0
+    for cand in range(_FIR_MAX_PRECISION, -1, -1):
+        scaled = _round_half_away(vals * float(1 << cand))
+        if scaled.max() <= 32767.0 and scaled.min() >= -32768.0:
+            p = cand
+            break
+    k = _round_half_away(w * float(1 << p)).astype(np.int64)
+    return k, p
+
+
+def _fir_pass_u8(px: np.ndarray, k: np.ndarray, p: int) -> np.ndarray:
+    """One fixed-point convolution pass over the LAST axis: u8 pixels x
+    i16 coefficients -> i32 accumulator seeded with 2^(p-1) -> arithmetic
+    shift -> clamp to u8 (fast_image_resize's per-row u8 kernel)."""
+    ss = px.astype(np.int64) @ k.T + ((1 << (p - 1)) if p else 0)
+    return np.clip(ss >> p, 0, 255).astype(np.uint8)
+
+
 def crop_resize_golden(
     frame: np.ndarray, crop: Crop | None = None, dst: int = DCT_SIZE
 ) -> np.ndarray:
     """Crop+resize a grayscale frame (u8 [H, W]) to [dst, dst] u8.
 
-    Equivalent of ``crop_resize_buf`` (resize_gray.rs:11-54): the crop window
-    is folded into the convolution weights.
+    Equivalent of ``crop_resize_buf`` (resize_gray.rs:11-54) including the
+    crate's U8 fixed-point arithmetic: the default ``Resizer`` runs the
+    HORIZONTAL convolution first into a u8 temp image (dst width x src
+    height), then the VERTICAL convolution — each pass quantizes its
+    coefficients to i16 via ``Normalizer16`` and rounds its output to u8.
+    The crop window is folded into the per-axis coefficient windows
+    (samples never come from outside it, matching the crate's cropped
+    ``ResizeOptions``).
+    """
+    frame = np.asarray(frame)
+    h, w = frame.shape
+    if crop is None:
+        crop = Crop.from_edge_offsets((w, h), 0, 0, 0, 0)
+    x, y, cw, ch = crop.as_view_args()
+    wh = resize_weights(w, dst, crop_start=float(x), crop_size=float(cw))
+    wv = resize_weights(h, dst, crop_start=float(y), crop_size=float(ch))
+    kh, ph = _fir_i16_weights(wh)
+    kv, pv = _fir_i16_weights(wv)
+    temp = _fir_pass_u8(frame, kh, ph)  # [h, dst] u8 (horizontal pass)
+    return _fir_pass_u8(temp.T, kv, pv).T  # [dst, dst] u8 (vertical pass)
+
+
+def crop_resize_f64(
+    frame: np.ndarray, crop: Crop | None = None, dst: int = DCT_SIZE
+) -> np.ndarray:
+    """Previous golden resize: both axes in f64 with ONE final round.
+
+    Kept as the comparison model for the fixed-point parity path above
+    (<= 1 gray level apart at rounding boundaries) and as the exact
+    continuous-domain twin of the device f32 weight-matrix resize
+    (``ops/resize_device.py``).
     """
     frame = np.asarray(frame)
     h, w = frame.shape
