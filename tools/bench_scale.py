@@ -1,0 +1,185 @@
+"""Scale-point bench runner: committed evidence for the windowed-kernel
+claims (round-2 VERDICT weak #4 / task 5).
+
+Runs the banded Pallas sweep at each N in VDF_SCALE_NS (default
+1M/4M/8M/16M) with a device-born library and 200 planted duplicate
+clusters, each N in its OWN subprocess (back-to-back multi-GB device
+allocations degrade through this tunnel's allocator — a fresh process
+per point keeps the measurements independent), and writes one JSON line
+per N to the output file (default BENCH_SCALE_r03.json at the repo
+root).  The windowed state engages automatically above
+VDF_WINDOWED_THRESHOLD, exactly as `search(backend="auto")` does.
+
+Usage:
+    python tools/bench_scale.py                 # full sweep -> JSON file
+    python tools/bench_scale.py --child N       # one point, JSON to stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from vid_dup_finder_lib_tpu.utils.jaxconfig import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+CLUSTERS = 200
+CLUSTER_SIZE = 3
+CLUSTER_RADIUS = 60  # pairwise <= 120 << 350
+TOL = 350
+
+
+def run_point(n: int) -> dict:
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+
+    rng = np.random.default_rng(0)
+    durations = np.sort(rng.integers(30, 7200, n))
+    starts = np.sort(rng.choice(n // 8 - 1, CLUSTERS, replace=False) * 8)
+    for s in starts:
+        durations[s : s + CLUSTER_SIZE] = durations[s]
+    bounds = np.searchsorted(
+        durations, (durations.astype(np.float64) * 1.1).astype(np.int64),
+        side="right",
+    )
+    comps = int(np.sum(np.maximum(bounds - np.arange(1, n + 1), 0)))
+
+    n_row_tiles = -(-n // hp.TILE_M)
+    n_row_chunks = -(-n_row_tiles // hp.R_TILES)
+    n_pad = (
+        n_row_chunks * hp.R_TILES * hp.TILE_M
+        + (hp.BAND_TILES + 1) * hp.TILE_N
+    )
+
+    t0 = time.time()
+
+    @jax.jit
+    def gen(key):
+        p = jax.random.bits(key, (n_pad, 32), dtype=jnp.uint32)
+        mask = jnp.concatenate(
+            [
+                jnp.full((31,), 0xFFFFFFFF, jnp.uint32),
+                jnp.full((1,), 0xFF, jnp.uint32),
+            ]
+        )
+        return p & mask[None, :]
+
+    packed_dev = gen(jax.random.key(0))
+
+    seeds = np.asarray(jnp.take(packed_dev, jnp.asarray(starts), axis=0))
+    rows, idxs = [], []
+    for si, s in enumerate(starts):
+        for k in range(1, CLUSTER_SIZE):
+            h = seeds[si].copy()
+            for b in rng.choice(1000, CLUSTER_RADIUS, replace=False):
+                h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+            rows.append(h)
+            idxs.append(s + k)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter(p, idx, new_rows):
+        return p.at[idx].set(new_rows)
+
+    packed_dev = scatter(
+        packed_dev, jnp.asarray(np.array(idxs)), jnp.asarray(np.stack(rows))
+    )
+    int(np.asarray(packed_dev[0, 0]))  # force completion (tunnel)
+    gen_secs = time.time() - t0
+
+    windowed = n >= int(os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000"))
+    t0 = time.time()
+    if windowed:
+        state = hp.WindowedPallasState(
+            None, bounds, n=n, packed_dev=packed_dev
+        )
+    else:
+        state = hp.PallasSearchState(None, bounds, n=n, packed_dev=packed_dev)
+        state.pm1.block_until_ready()
+        int(np.asarray(state.pm1[0, 0]))
+    state_secs = time.time() - t0
+
+    iters = int(os.environ.get("VDF_SCALE_ITERS", "2"))
+    best = None
+    for _ in range(iters):
+        t0 = time.time()
+        ii, jj = hp.banded_adjacency_pallas(None, bounds, TOL, state=state)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+
+    pair_set = set(zip(ii.tolist(), jj.tolist()))
+    missing = sum(
+        1
+        for s in starts
+        for a in range(s, s + CLUSTER_SIZE)
+        for b in range(a + 1, s + CLUSTER_SIZE)
+        if (a, b) not in pair_set
+    )
+    assert missing == 0, f"{missing} planted pairs missed at n={n}"
+
+    return {
+        "metric": f"hamming_comps_per_sec@{n}",
+        "value": round(comps / best, 1),
+        "unit": "comparisons/s",
+        "secs": round(best, 3),
+        "comps": comps,
+        "windowed": windowed,
+        "pairs": len(ii),
+        "planted_clusters_ok": CLUSTERS,
+        "gen_secs_untimed": round(gen_secs, 2),
+        "state_secs_untimed": round(state_secs, 2),
+        "tile": [hp.TILE_M, hp.TILE_N, hp.BAND_TILES],
+        "pm_dtype": hp.PM_DTYPE,
+        "colt": hp.COLT,
+        "counts_interior": hp.COUNTS_INTERIOR,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        print(json.dumps(run_point(int(sys.argv[2]))), flush=True)
+        return
+
+    ns = [
+        int(x)
+        for x in os.environ.get(
+            "VDF_SCALE_NS", "1000000,4000000,8000000,16000000"
+        ).split(",")
+    ]
+    out_path = os.environ.get(
+        "VDF_SCALE_OUT", os.path.join(_REPO, "BENCH_SCALE_r03.json")
+    )
+    results = []
+    for n in ns:
+        print(f"# scale point n={n} ...", file=sys.stderr, flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"scale point n={n} failed")
+        line = proc.stdout.strip().splitlines()[-1]
+        results.append(json.loads(line))
+        print(line, flush=True)
+        with open(out_path, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in results) + "\n")
+    print(f"# wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,16 @@ from ..definitions import HASH_BITS_PADDED
 # (int32 / f32 accumulation over +/-1 operands).
 PM_DTYPE = os.environ.get("VDF_PM_DTYPE", "int8")
 
+# Round-3 kernel experiments (see ARCHITECTURE.md round-3 perf log):
+# VDF_COLT=1 stores a TRANSPOSED [1024, n] copy of the +/-1 matrix for
+# the counts kernel's column operand, so the MXU dot is a plain [M, K] x
+# [K, N] matmul with no per-tile rhs relayout; VDF_COUNTS_INTERIOR=1
+# gives the counts kernel the same interior-tile fast path as the
+# packing kernel (skip the per-element window masks on tiles fully
+# inside every row's band).
+COLT = os.environ.get("VDF_COLT") == "1"
+COUNTS_INTERIOR = os.environ.get("VDF_COUNTS_INTERIOR", "0") == "1"
+
 TILE_M = int(os.environ.get("VDF_TILE_M", "512"))
 TILE_N = int(os.environ.get("VDF_TILE_N", "1024"))
 R_TILES = int(os.environ.get("VDF_R_TILES", "1"))
@@ -509,21 +519,43 @@ def _build_chunk_counts(interpret: bool):
         a = rows_ref[...]
         b = cols_ref[...]
         acc = jnp.int32 if PM_DTYPE == "int8" else jnp.float32
+        # COLT: the column operand is the TRANSPOSED [1024, n] matrix, so
+        # the dot contracts a's dim 1 against b's dim 0 — a plain MXU
+        # matmul with no per-tile rhs relayout
+        dims = (((1,), (0,)), ((), ())) if COLT else (((1,), (1,)), ((), ()))
         dot = jax.lax.dot_general(
-            a, b,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc,
+            a, b, dimension_numbers=dims, preferred_element_type=acc
         )
         dot_thresh = (HASH_BITS_PADDED - 2 * tol).astype(acc)
-        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_N), 1)
-        row_lo = row_lo_ref[...]  # [TILE_M, 1]
-        col_limit = jnp.minimum(bounds_ref[...], n)
-        adj = (
-            (dot >= dot_thresh)
-            & (col_ids > row_lo)
-            & (col_ids < col_limit)
-        )
-        cnt = jnp.sum(adj.astype(jnp.int32))
+
+        def boundary_cnt():
+            col_ids = c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_N), 1
+            )
+            row_lo = row_lo_ref[...]  # [TILE_M, 1]
+            col_limit = jnp.minimum(bounds_ref[...], n)
+            adj = (
+                (dot >= dot_thresh)
+                & (col_ids > row_lo)
+                & (col_ids < col_limit)
+            )
+            return jnp.sum(adj.astype(jnp.int32))
+
+        if COUNTS_INTERIOR:
+            # same interior-tile fast path as the packing kernel: tiles
+            # fully inside every row's window skip the id-mask VPU
+            # passes (the scalar result lets lax.cond apply — the
+            # big-vector Mosaic limitation only hits vector yields)
+            min_bound = scal_ref[3 + R_TILES + i]
+            max_row_lo = scal_ref[3 + 2 * R_TILES + i]
+            interior = (c0 > max_row_lo) & (c0 + TILE_N <= min_bound)
+            cnt = jax.lax.cond(
+                interior,
+                lambda: jnp.sum((dot >= dot_thresh).astype(jnp.int32)),
+                boundary_cnt,
+            )
+        else:
+            cnt = boundary_cnt()
 
         @pl.when(j == 0)
         def _init():
@@ -533,6 +565,19 @@ def _build_chunk_counts(interpret: bool):
         def _acc():
             out_ref[...] = out_ref[...] + cnt
 
+    cols_spec = (
+        pl.BlockSpec(
+            (HASH_BITS_PADDED, TILE_N),
+            lambda i, j, s: (0, s[3 + i] + j),
+            memory_space=pltpu.VMEM,
+        )
+        if COLT
+        else pl.BlockSpec(
+            (TILE_N, HASH_BITS_PADDED),
+            lambda i, j, s: (s[3 + i] + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R_TILES, BAND_TILES),
@@ -542,11 +587,7 @@ def _build_chunk_counts(interpret: bool):
                 lambda i, j, s: (s[2] + i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (TILE_N, HASH_BITS_PADDED),
-                lambda i, j, s: (s[3 + i] + j, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            cols_spec,
             pl.BlockSpec(
                 (TILE_M, 1),
                 lambda i, j, s: (s[2] + i, 0),
@@ -609,7 +650,15 @@ def _build_sweep_counts(interpret: bool, sweep_calls: int):
 # phase-B batch's packed adjacency words (each nonzero word holds >= 1
 # matching pair; overflow falls back to per-launch host extraction)
 EXTRACT_WORD_CAP = int(os.environ.get("VDF_EXTRACT_WORD_CAP", "16384"))
-PHASE_B_CALLS = 64
+PHASE_B_CALLS = int(os.environ.get("VDF_PHASE_B_CALLS", "64"))
+# two-level extraction (VDF_PHASE_B_V2): jnp.nonzero lowers to a full
+# sort, and sorting the 16.7M packed words of a 64-launch batch cost
+# ~170 ms — phase B was ~56% of the 1M sweep.  V2 first reduces words to
+# 1024-word-row nonzero counts (one fused pass), sized-nonzeros the
+# (tiny) row list, gathers only the hot rows, and runs the word-level
+# sized nonzero over those — two sorts of 16k/1M instead of one of 16.7M.
+PHASE_B_V2 = os.environ.get("VDF_PHASE_B_V2", "0") == "1"
+PHASE_B_HOT_ROWS = int(os.environ.get("VDF_PHASE_B_HOT_ROWS", "1024"))
 
 
 @functools.cache
@@ -844,6 +893,19 @@ def unpack_pm1_device(packed):
     return _unpack_jit()(packed)
 
 
+@functools.cache
+def _transpose_jit():
+    """[n, 1024] -> [1024, n] device transpose (the VDF_COLT column
+    operand: one relayout up front instead of one per grid step)."""
+    import jax
+
+    @jax.jit
+    def f(pm):
+        return pm.T
+
+    return f
+
+
 def _tile_bits_to_pairs(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """int32[TILE_M//32, TILE_N] transposed words -> (row_off, col_off)."""
     u = np.ascontiguousarray(words).view(np.uint32)
@@ -938,6 +1000,10 @@ class PallasSearchState:
             packed_pad = np.zeros((n_pad, packed.shape[1]), dtype=np.uint32)
             packed_pad[:n] = packed
             self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
+        self.pm1T = None
+        if COLT:
+            assert not defer_upload, "VDF_COLT: streamed states unsupported"
+            self.pm1T = _transpose_jit()(self.pm1)
         if not defer_upload:
             self.pm1.block_until_ready()
 
@@ -1289,6 +1355,7 @@ class WindowedPallasState:
         self.max_ct = (n_pad - TILE_N) // TILE_N
         self.w0: int | None = None
         self.pm1 = None
+        self.pm1T = None
         self.bounds_dev = None
         self.row_lo_dev = None
         self.rebuilds = 0
@@ -1327,7 +1394,7 @@ class WindowedPallasState:
         self._ensure_packed(w_start + self.window_rows)
         # release our references first so the allocator can reuse the
         # previous window's pages for the new one
-        self.pm1 = self.bounds_dev = self.row_lo_dev = None
+        self.pm1 = self.pm1T = self.bounds_dev = self.row_lo_dev = None
         fn = _window_build_jit(self.window_rows)
         self.pm1, self.bounds_dev, self.row_lo_dev = fn(
             self.packed_dev,
@@ -1335,6 +1402,8 @@ class WindowedPallasState:
             self._row_lo_full,
             jnp.int32(w_start),
         )
+        if COLT:
+            self.pm1T = _transpose_jit()(self.pm1)
         self.w0 = w_start
         self.rebuilds += 1
 
@@ -1413,6 +1482,7 @@ def banded_adjacency_pallas(
 
     # Phase A: counts-only sweep over every launch.
     pm1 = state.pm1
+    colsA = state.pm1T if COLT else state.pm1
     bounds_dev = state.bounds_dev
     for batch, w_start in _gen_batches(state, launches, sweep_sizes):
         sweep_calls = next(
@@ -1428,11 +1498,12 @@ def banded_adjacency_pallas(
                 # one small fetch).  The local aliases must drop too, or
                 # they alone keep the old window alive.
                 drain_pending()
-                pm1 = bounds_dev = None
+                pm1 = colsA = bounds_dev = None
                 t0 = time.perf_counter()
                 state.move_window(w_start)
                 ph["stream"] += time.perf_counter() - t0
             pm1 = state.pm1
+            colsA = state.pm1T if COLT else state.pm1
             bounds_dev = state.bounds_dev
         if state.uploaded_rows is not None:
             # streamed build: h2d overlaps the counts sweep
@@ -1446,12 +1517,12 @@ def banded_adjacency_pallas(
             t0 = time.perf_counter()
             state.ensure_rows(need)
             ph["stream"] += time.perf_counter() - t0
-            pm1 = state.pm1
+            pm1 = colsA = state.pm1
         scalars_all = np.zeros((sweep_calls, 4 + 3 * R_TILES), np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         counts = counts_fn(
-            jnp.asarray(scalars_all), pm1, pm1, bounds_dev,
+            jnp.asarray(scalars_all), pm1, colsA, bounds_dev,
             state.row_lo_dev,
         )
         ph["dispatch"] += time.perf_counter() - t0
@@ -1754,11 +1825,13 @@ def _banded_adjacency_onepass(
 
 def refs_adjacency_pallas(
     refs_packed: np.ndarray,
-    cands_packed: np.ndarray,
+    cands_packed: np.ndarray | None,
     lo: np.ndarray,
     hi: np.ndarray,
     tolerance_int: int,
     interpret: bool | None = None,
+    cands_dev=None,
+    n_cands: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """References-vs-candidates adjacency on the Pallas sweep kernel.
 
@@ -1769,11 +1842,19 @@ def refs_adjacency_pallas(
     kernel's generalized per-row [row_lo + 1, bounds) window does the
     rest: row_lo = lo - 1, bounds = hi (the self-search is the special
     case row_lo = own index).
+
+    ``cands_dev`` (+ ``n_cands``): a DEVICE-RESIDENT duration-sorted
+    packed candidate matrix (uint32[>= n_cands, 32], e.g. gathered from
+    an ``IncrementalDeviceLibrary``) replaces the host ``cands_packed``
+    — the combined [cands | refs] matrix is assembled on device and only
+    the refs (128 B each) ride h2d, eliminating the library re-upload
+    that made cold multi-reference searches upload-bound (round-2
+    VERDICT weak #6).
     """
     import jax.numpy as jnp
 
     r = refs_packed.shape[0]
-    n = cands_packed.shape[0]
+    n = int(n_cands) if cands_dev is not None else cands_packed.shape[0]
     if r == 0 or n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     lo = np.asarray(lo, dtype=np.int64)
@@ -1785,20 +1866,57 @@ def refs_adjacency_pallas(
     n_ref_tiles = -(-r // TILE_M)
     n_ref_chunks = -(-n_ref_tiles // R_TILES)
     n_pad = ref0 + n_ref_chunks * R_TILES * TILE_M
-    packed_pad = np.zeros((n_pad, cands_packed.shape[1]), np.uint32)
-    packed_pad[:n] = cands_packed
-    packed_pad[ref0 : ref0 + r] = refs_packed
 
     bounds_full = np.full(n_pad, -1, dtype=np.int64)
     bounds_full[ref0 : ref0 + r] = np.minimum(hi, n)
     row_lo_full = np.full(n_pad, _ROW_LO_SENTINEL, dtype=np.int64)
     row_lo_full[ref0 : ref0 + r] = lo - 1
 
-    state = _RefsState(packed_pad, bounds_full, row_lo_full, n, ref0, r)
+    if cands_dev is not None:
+        refs_pad = np.zeros(
+            (n_pad - ref0, refs_packed.shape[1]), np.uint32
+        )
+        refs_pad[:r] = refs_packed
+        combined = _refs_combine_jit()(
+            cands_dev[:n],
+            jnp.asarray(refs_pad),
+            n_pad,
+        )
+        state = _RefsState(
+            None, bounds_full, row_lo_full, n, ref0, r,
+            combined_dev=combined,
+        )
+    else:
+        packed_pad = np.zeros((n_pad, cands_packed.shape[1]), np.uint32)
+        packed_pad[:n] = cands_packed
+        packed_pad[ref0 : ref0 + r] = refs_packed
+        state = _RefsState(packed_pad, bounds_full, row_lo_full, n, ref0, r)
     ii, jj = banded_adjacency_pallas(
         None, bounds_full, tolerance_int, interpret=interpret, state=state
     )
     return ii - ref0, jj
+
+
+@functools.cache
+def _refs_combine_jit():
+    """Device assembly of the [cands | refs] combined packed matrix: the
+    candidate block stays resident, only the (small) refs block rides
+    h2d."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    @_ft.partial(jax.jit, static_argnums=(2,))
+    def f(cands_dev, refs_rows, n_pad):
+        buf = jnp.zeros((n_pad, 32), jnp.uint32)
+        buf = jax.lax.dynamic_update_slice(buf, cands_dev, (0, 0))
+        buf = jax.lax.dynamic_update_slice(
+            buf, refs_rows, (n_pad - refs_rows.shape[0], 0)
+        )
+        return buf
+
+    return f
 
 
 class _RefsState(PallasSearchState):
@@ -1806,7 +1924,7 @@ class _RefsState(PallasSearchState):
     launch metadata covering only the refs row tiles."""
 
     def __init__(self, packed_pad, bounds_full, row_lo_full, n_cands,
-                 ref0, r) -> None:
+                 ref0, r, combined_dev=None) -> None:
         import jax.numpy as jnp
 
         # the floor-divisions below silently DROP trailing refs tiles if
@@ -1816,10 +1934,18 @@ class _RefsState(PallasSearchState):
         assert ref0 % TILE_M == 0 and TILE_N % TILE_M == 0, (
             "refs region must start row-tile aligned (TILE_N % TILE_M)"
         )
-        n_pad = packed_pad.shape[0]
+        n_pad = (
+            combined_dev.shape[0] if packed_pad is None
+            else packed_pad.shape[0]
+        )
         assert n_pad % TILE_M == 0
         self.uploaded_rows = None
-        self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
+        if packed_pad is None:
+            # resident-library path: combined matrix assembled on device
+            self.pm1 = unpack_pm1_device(combined_dev)
+        else:
+            self.pm1 = unpack_pm1_device(jnp.asarray(packed_pad))
+        self.pm1T = _transpose_jit()(self.pm1) if COLT else None
         self.pm1.block_until_ready()
 
         self.bounds_dev = jnp.asarray(

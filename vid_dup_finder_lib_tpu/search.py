@@ -95,6 +95,31 @@ class Search:
         self._adj_j: np.ndarray | None = None
         self._adj_off: np.ndarray | None = None
         self._tol_of_adjacency: int | None = None
+        # device-resident candidate matrix (attach_device_library)
+        self._cands_dev = None
+
+    def attach_device_library(self, library, insertion_paths) -> None:
+        """Use a device-resident packed library as the candidate matrix.
+
+        ``library``: an ``ops.hamming_pallas.IncrementalDeviceLibrary``
+        whose rows were appended in ``insertion_paths`` order (one
+        src_path per row).  Every entry of this Search must appear in
+        ``insertion_paths``.  Batched multi-reference searches then
+        assemble the [cands | refs] device matrix from the resident rows
+        — only the refs ride h2d, eliminating the 128 B/hash library
+        re-upload (round-2 VERDICT weak #6).  The sort into this
+        Search's (duration, src_path) order happens as a device gather.
+        """
+        import jax.numpy as jnp
+
+        from .ops.hamming_pallas import _incremental_jits
+
+        idx = {p: i for i, p in enumerate(insertion_paths)}
+        order = np.array(
+            [idx[e.src_path] for e in self.entries], dtype=np.int32
+        )
+        _, gather_rows = _incremental_jits()
+        self._cands_dev = gather_rows(library._packed, jnp.asarray(order))
 
     def seed(self, new_entries: Iterable[VideoHash]) -> None:
         self.entries = sorted(
@@ -105,6 +130,7 @@ class Search:
             [e.duration for e in self.entries], dtype=np.int64
         )
         self._adj_j = self._adj_off = None
+        self._cands_dev = None  # attached library no longer covers entries
 
     # -- distance plumbing ---------------------------------------------------
 
@@ -261,14 +287,19 @@ class Search:
         order = sorted(range(len(refs)), key=lambda k: refs[k].duration)
 
         # large workloads ride the device: blocked int8 MXU matmul over
-        # the per-ref [0.95d, 1.05d] column windows (output-identical)
+        # the per-ref [0.95d, 1.05d] column windows (output-identical).
+        # With an attached device library the device path is used
+        # unconditionally (the candidate matrix is already resident).
         windows_all = [self._duration_slice(refs[k].duration) for k in order]
         work = sum(w[1] - w[0] for w in windows_all)
-        if work >= _DEVICE_REFS_WORK_THRESHOLD and _device_available():
+        resident = self._cands_dev is not None
+        if resident or (
+            work >= _DEVICE_REFS_WORK_THRESHOLD and _device_available()
+        ):
             ref_mat = hashes_to_matrix([refs[k] for k in order])
             lo = np.array([w[0] for w in windows_all], np.int64)
             hi = np.array([w[1] for w in windows_all], np.int64)
-            cands_mat = hashes_to_matrix(self.entries)
+            cands_mat = None if resident else hashes_to_matrix(self.entries)
             n_entries = len(self.entries)
             # the refs kernel holds a fully-resident +/-1 candidate
             # matrix (1 KB/hash): chunk the candidate axis so huge
@@ -286,7 +317,17 @@ class Search:
                     continue
                 sub_lo = np.clip(lo[sel] - c0, 0, c1 - c0)
                 sub_hi = np.clip(hi[sel] - c0, 0, c1 - c0)
-                if on_tpu:
+                if resident:
+                    # device-resident candidates: combined matrix is
+                    # assembled on device, only refs ride h2d
+                    from .ops.hamming_pallas import refs_adjacency_pallas
+
+                    pi, pj = refs_adjacency_pallas(
+                        ref_mat[sel], None, sub_lo, sub_hi, tol,
+                        cands_dev=self._cands_dev[c0:c1],
+                        n_cands=c1 - c0,
+                    )
+                elif on_tpu:
                     # the generalized Pallas sweep: per-row [lo, hi)
                     from .ops.hamming_pallas import refs_adjacency_pallas
 
@@ -380,20 +421,30 @@ def search_with_references(
     ref_hashes: Iterable[VideoHash],
     new_hashes: Iterable[VideoHash],
     tolerance: float = None,  # type: ignore[assignment]
+    device_library=None,
+    library_paths=None,
 ) -> list[MatchGroup]:
     """Find, per reference video, its duplicates among ``new_hashes``.
 
     Parity: ``vid_dup_finder_lib::search_with_references``
     (video_dup_finder.rs:19-46) — one reference at a time, non-consuming.
+
+    ``device_library`` + ``library_paths`` (extension beyond the
+    reference API): an ``IncrementalDeviceLibrary`` holding the packed
+    candidate hashes device-resident (appended in ``library_paths``
+    order) — the search then skips the candidate-matrix upload entirely
+    (only refs ride h2d; see ``Search.attach_device_library``).
     """
     if tolerance is None:
         from .definitions import DEFAULT_SEARCH_TOLERANCE
 
         tolerance = DEFAULT_SEARCH_TOLERANCE
     s = Search(new_hashes)
+    if device_library is not None:
+        s.attach_device_library(device_library, library_paths)
     refs = list(ref_hashes)
     out: list[MatchGroup] = []
-    if len(refs) >= _BATCHED_REFS_THRESHOLD:
+    if len(refs) >= _BATCHED_REFS_THRESHOLD or device_library is not None:
         all_matches = s.search_with_references_batched(refs, tolerance)
     else:
         all_matches = [
