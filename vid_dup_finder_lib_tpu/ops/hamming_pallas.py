@@ -50,13 +50,16 @@ from ..definitions import HASH_BITS_PADDED
 # (int32 / f32 accumulation over +/-1 operands).
 PM_DTYPE = os.environ.get("VDF_PM_DTYPE", "int8")
 
-# Round-3 kernel experiments (see ARCHITECTURE.md round-3 perf log):
+# Round-3 kernel experiments, MEASURED at 1M on v5e (ARCHITECTURE.md
+# round-3 perf log) — both LOST and default OFF, kept for re-testing on
+# other hardware:
 # VDF_COLT=1 stores a TRANSPOSED [1024, n] copy of the +/-1 matrix for
-# the counts kernel's column operand, so the MXU dot is a plain [M, K] x
-# [K, N] matmul with no per-tile rhs relayout; VDF_COUNTS_INTERIOR=1
-# gives the counts kernel the same interior-tile fast path as the
-# packing kernel (skip the per-element window masks on tiles fully
-# inside every row's band).
+# the counts kernel's column operand (plain [M, K] x [K, N] MXU dot, no
+# per-tile rhs relayout) — neutral (0.39 s vs 0.38 s counts drain):
+# Mosaic already absorbs the rhs-contraction layout.  VDF_COUNTS_INTERIOR=1
+# gives the counts kernel the packing kernel's interior-tile fast path —
+# NEGATIVE (0.46 s vs 0.38 s): the per-step lax.cond costs more than the
+# mask VPU passes it skips.
 COLT = os.environ.get("VDF_COLT") == "1"
 COUNTS_INTERIOR = os.environ.get("VDF_COUNTS_INTERIOR", "0") == "1"
 
@@ -657,7 +660,7 @@ PHASE_B_CALLS = int(os.environ.get("VDF_PHASE_B_CALLS", "64"))
 # 1024-word-row nonzero counts (one fused pass), sized-nonzeros the
 # (tiny) row list, gathers only the hot rows, and runs the word-level
 # sized nonzero over those — two sorts of 16k/1M instead of one of 16.7M.
-PHASE_B_V2 = os.environ.get("VDF_PHASE_B_V2", "0") == "1"
+PHASE_B_V2 = os.environ.get("VDF_PHASE_B_V2", "1") == "1"
 PHASE_B_HOT_ROWS = int(os.environ.get("VDF_PHASE_B_HOT_ROWS", "1024"))
 
 
@@ -684,6 +687,40 @@ def _build_phase_b(interpret: bool, sweep_calls: int):
 
         _, packed_all = jax.lax.scan(body, None, scalars_all, unroll=4)
         flat = packed_all.reshape(-1)
+        if PHASE_B_V2:
+            # two-level: one fused pass reduces words to per-1024-row
+            # nonzero counts, a tiny sized-nonzero finds the hot rows,
+            # one row gather pulls them, and the word-level sized
+            # nonzero runs over HOT_ROWS * 1024 words instead of the
+            # whole batch (the full-batch nonzero lowered to a ~170 ms
+            # sort of 16.7M words)
+            rows = flat.reshape(-1, 1024)
+            rownz = jnp.sum((rows != 0).astype(jnp.int32), axis=1)
+            hot = jnp.nonzero(
+                rownz > 0, size=PHASE_B_HOT_ROWS, fill_value=-1
+            )[0].astype(jnp.int32)
+            hot_total = jnp.sum((rownz > 0).astype(jnp.int32))
+            sub = jnp.take(rows, jnp.maximum(hot, 0), axis=0)
+            sub = jnp.where((hot >= 0)[:, None], sub, 0)
+            sub_flat = sub.reshape(-1)
+            nz = sub_flat != 0
+            total = jnp.sum(nz.astype(jnp.int32))
+            loc2 = jnp.nonzero(
+                nz, size=EXTRACT_WORD_CAP, fill_value=-1
+            )[0].astype(jnp.int32)
+            val = jnp.take(sub_flat, jnp.maximum(loc2, 0))
+            loc = jnp.where(
+                loc2 >= 0,
+                jnp.take(hot, jnp.maximum(loc2, 0) // 1024) * 1024
+                + loc2 % 1024,
+                -1,
+            ).astype(jnp.int32)
+            # hot-row overflow: missed words exist beyond the gathered
+            # rows — inflate total past the cap so the decoder takes the
+            # exact per-launch fallback
+            overflow = (hot_total > PHASE_B_HOT_ROWS).astype(jnp.int32)
+            total = total + overflow * (EXTRACT_WORD_CAP + 1)
+            return jnp.concatenate([loc, val, total[None]])
         nz = flat != 0
         total = jnp.sum(nz.astype(jnp.int32))
         loc = jnp.nonzero(nz, size=EXTRACT_WORD_CAP, fill_value=-1)[0]
