@@ -63,7 +63,11 @@ PM_DTYPE = os.environ.get("VDF_PM_DTYPE", "int8")
 COLT = os.environ.get("VDF_COLT") == "1"
 COUNTS_INTERIOR = os.environ.get("VDF_COUNTS_INTERIOR", "0") == "1"
 
-TILE_M = int(os.environ.get("VDF_TILE_M", "512"))
+# TILE_M=1024 (round 3): 2x MACs per grid step amortizes the fixed
+# per-step cost — 1M resident sweep 0.588 -> 0.573 s vs TILE_M=512;
+# TILE_N=2048 / BAND_TILES=32 / PHASE_B_CALLS=256 all measured worse
+# (ARCHITECTURE.md round-3 perf log)
+TILE_M = int(os.environ.get("VDF_TILE_M", "1024"))
 TILE_N = int(os.environ.get("VDF_TILE_N", "1024"))
 R_TILES = int(os.environ.get("VDF_R_TILES", "1"))
 BAND_TILES = int(os.environ.get("VDF_BAND_TILES", "16"))
