@@ -531,3 +531,52 @@ def test_refs_resident_library_matches_host_loop():
     got = [(g.reference, list(g.duplicates)) for g in groups]
     assert got == exp_groups
     assert len(got) >= 2
+
+
+def test_ring_planner_work_scaling():
+    """Host-side property of the ring launch planner: total MXU launches
+    stay ~constant as the mesh grows (per-chip work O(band / n_chips)),
+    and the number of ring steps equals the band's BLOCK span (k_max+1),
+    not n_devices — the full O(N^2) rectangle is never planned."""
+    from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+    from vid_dup_finder_lib_tpu.parallel.ring_pallas import (
+        _align,
+        _plan_ring_launches,
+    )
+
+    rng = np.random.default_rng(60)
+    n = 200_000
+    durs = np.sort(rng.integers(30, 40000, n))
+    bounds_c = np.minimum(
+        np.searchsorted(durs, (durs * 1.1).astype(np.int64), side="right"),
+        n,
+    ).astype(np.int64)
+    align = _align()
+
+    totals = {}
+    for n_dev in (1, 4, 16):
+        ns = -(-(-(-n // n_dev)) // align) * align
+        launches, k_max = _plan_ring_launches(
+            n, n_dev, ns, bounds_c, ns, 1
+        )
+        total = sum(len(v) for v in launches.values())
+        totals[n_dev] = total
+        max_span = int((bounds_c - np.arange(n)).max())
+        # steps bounded by the band's block span, far below n_dev
+        assert k_max <= -(-max_span // ns) + 1
+        if n_dev == 16:
+            assert k_max + 1 <= 4  # band ~ a few % of N => tiny span
+        # every row tile with a band is covered at least once
+        per_shard = {}
+        for (s_, w_, d), lst in launches.items():
+            per_shard[d] = per_shard.get(d, 0) + len(lst)
+        # per-chip work genuinely divides (within boundary-split slack)
+        assert max(per_shard.values()) <= -(-totals[1] // n_dev) * 3
+        covered = {g_rt for lst in launches.values() for (g_rt, _) in lst}
+        for rt in range(n // hp.TILE_M):
+            r0 = rt * hp.TILE_M
+            if bounds_c[r0 : r0 + hp.TILE_M].max() > r0 + 1:
+                assert rt in covered, rt
+    # block-boundary stripe splits add a few launches (~1 + band/ns),
+    # never O(n_dev) x
+    assert totals[16] <= totals[1] * 2.0, totals
