@@ -76,7 +76,11 @@ def main() -> None:
 
         t_up0 = time.time()
         cands_dev = jnp.asarray(cands)
-        cands_dev.block_until_ready()
+        # force real completion with a d2h fetch: block_until_ready can
+        # return EARLY through the dev tunnel (CLAUDE.md), which let the
+        # 132 MB upload leak into the timed region
+        int(np.asarray(cands_dev[0, 0]))
+        int(np.asarray(cands_dev[-1, -1]))
         upload_secs = time.time() - t_up0
         refs_adjacency_pallas(  # warm (compile-cache hit)
             refs[:256], None, lo[:256], hi[:256], tol,
