@@ -103,8 +103,9 @@ def run_point(n: int) -> dict:
     windowed = n >= int(os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000"))
     t0 = time.time()
     if windowed:
+        wr = int(os.environ.get("VDF_WINDOW_ROWS", "0")) or None
         state = hp.WindowedPallasState(
-            None, bounds, n=n, packed_dev=packed_dev
+            None, bounds, n=n, packed_dev=packed_dev, window_rows=wr
         )
     else:
         state = hp.PallasSearchState(None, bounds, n=n, packed_dev=packed_dev)

@@ -1939,6 +1939,26 @@ def refs_adjacency_pallas(
 
 
 @functools.cache
+def _refs_meta_jit():
+    """Device build of the combined matrix's bounds/row_lo columns from
+    the refs-region rows alone (candidate rows are all sentinels)."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    @_ft.partial(jax.jit, static_argnums=(2, 3))
+    def f(bounds_rows, row_lo_rows, n_pad, ref0):
+        b = jnp.full((n_pad, 1), -1, jnp.int32)
+        b = jax.lax.dynamic_update_slice(b, bounds_rows[:, None], (ref0, 0))
+        r = jnp.full((n_pad, 1), _ROW_LO_SENTINEL, jnp.int32)
+        r = jax.lax.dynamic_update_slice(r, row_lo_rows[:, None], (ref0, 0))
+        return b, r
+
+    return f
+
+
+@functools.cache
 def _refs_combine_jit():
     """Device assembly of the [cands | refs] combined packed matrix: the
     candidate block stays resident, only the (small) refs block rides
@@ -1989,12 +2009,23 @@ class _RefsState(PallasSearchState):
         self.pm1T = _transpose_jit()(self.pm1) if COLT else None
         self.pm1.block_until_ready()
 
-        self.bounds_dev = jnp.asarray(
-            bounds_full.astype(np.int32)[:, None]
-        )
-        self.row_lo_dev = jnp.asarray(
-            row_lo_full.astype(np.int32)[:, None]
-        )
+        if packed_pad is None:
+            # metadata built on device from the (small) refs region only:
+            # uploading full [n_pad, 1] arrays cost ~8 MB of h2d per
+            # search — real time through the dev tunnel
+            self.bounds_dev, self.row_lo_dev = _refs_meta_jit()(
+                jnp.asarray(bounds_full[ref0:].astype(np.int32)),
+                jnp.asarray(row_lo_full[ref0:].astype(np.int32)),
+                n_pad,
+                ref0,
+            )
+        else:
+            self.bounds_dev = jnp.asarray(
+                bounds_full.astype(np.int32)[:, None]
+            )
+            self.row_lo_dev = jnp.asarray(
+                row_lo_full.astype(np.int32)[:, None]
+            )
 
         n_tiles = n_pad // TILE_M
         first_ct = np.zeros(n_tiles, dtype=np.int64)
