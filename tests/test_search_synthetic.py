@@ -457,3 +457,14 @@ def test_dense_adjacency_stress_exact_groups_and_replay_time():
     # replay must be CSR-vectorized: generous CI bound, but far below
     # what a per-pair Python walk over 2.1M pairs costs
     assert t_replay < 5.0, (t_replay, t_adj, n_pairs)
+
+
+def test_env_search_backend_override(monkeypatch):
+    """VDF_SEARCH_BACKEND redirects backend='auto' (production knob that
+    keeps the reference-parity CLI flag surface untouched)."""
+    rng = np.random.default_rng(70)
+    base = VideoHash.random_hash(rng).with_src_path("a")
+    dup = base.hash_with_spatial_distance(100, rng).with_src_path("b")
+    monkeypatch.setenv("VDF_SEARCH_BACKEND", "host")
+    groups = search([base, dup], 0.3)
+    assert [sorted(g.contained_paths()) for g in groups] == [["a", "b"]]

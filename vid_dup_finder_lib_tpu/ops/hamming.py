@@ -443,6 +443,17 @@ def banded_adjacency(
     # auto
     try:
         if _on_tpu():
+            import jax
+
+            if len(jax.devices()) > 1 and os.environ.get(
+                "VDF_AUTO_RING", "1"
+            ) == "1":
+                # multi-chip TPU: shard the library over the mesh (the
+                # int8 banded Pallas ring — per-chip work
+                # O(band/n_chips)); single-chip paths below otherwise
+                from ..parallel.ring_pallas import banded_adjacency_ring
+
+                return banded_adjacency_ring(packed, bounds, tolerance_int)
             from .hamming_pallas import (
                 WindowedPallasState,
                 banded_adjacency_pallas,

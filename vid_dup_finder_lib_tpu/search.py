@@ -407,6 +407,10 @@ def search(
         from .definitions import DEFAULT_SEARCH_TOLERANCE
 
         tolerance = DEFAULT_SEARCH_TOLERANCE
+    if backend == "auto":
+        # production override without touching the reference-parity CLI
+        # flag surface (arg_parse mirrors the reference's 33 flags)
+        backend = os.environ.get("VDF_SEARCH_BACKEND", "auto")
     groups = Search(hashes).search_self(tolerance, backend=backend)
     out = []
     for g in groups:
