@@ -468,24 +468,53 @@ def banded_adjacency_ring(
         n, n_dev, ns, bounds_c, w_rows, n_win
     )
 
-    sweep_calls = 8 if interpret else 64
-    pb_calls = 4 if interpret else 16
-    counts_fn, phase_b_fn, rotate_fn, shard_fn = _ring_jits(
-        axis, mesh, interpret, sweep_calls, pb_calls, w_rows, cw_rows, ns
+    # launch-batch buckets: one counts/phase-B call covers a whole
+    # (step, window)'s launches where possible — the SPMD body unpacks
+    # its windowed +/-1 operands per CALL, so many small calls per
+    # window would redo the unpack each time (at 32M that is GBs of
+    # rebuild per call)
+    sweep_buckets = (8,) if interpret else (64, 1024, 16384)
+    pb_buckets = (4,) if interpret else (16, 256)
+    _, _, rotate_fn, shard_fn = _ring_jits(
+        axis, mesh, interpret, sweep_buckets[0], pb_buckets[0],
+        w_rows, cw_rows, ns,
     )
 
-    # sharded device state
-    packed_pad = np.zeros((npad, 32), np.uint32)
-    packed_pad[:n] = packed
-    own_pk = shard_fn(packed_pad)
+    def fns_for(size, pb=False):
+        got = _ring_jits(
+            axis, mesh, interpret,
+            size if not pb else sweep_buckets[0],
+            size if pb else pb_buckets[0],
+            w_rows, cw_rows, ns,
+        )
+        return got[1] if pb else got[0]
+
+    def pick(buckets, rem):
+        return next((b for b in buckets if b >= rem), buckets[-1])
+
+    # sharded device state.  ``packed`` may be a device-resident jax
+    # array (e.g. an IncrementalDeviceLibrary gather) — padding then
+    # happens on device and no library bytes ride h2d.
+    if isinstance(packed, np.ndarray):
+        packed_pad = np.zeros((npad, 32), np.uint32)
+        packed_pad[:n] = packed
+        own_pk = shard_fn(packed_pad)
+    else:
+        own_pk = shard_fn(
+            jnp.concatenate(
+                [packed[:n], jnp.zeros((npad - n, 32), jnp.uint32)]
+            )
+        )
     # row metadata in the lane-compact [rows // 128, 128] layout (a
-    # [rows, 1] int32 array is lane-padded 128x by TPU tiling)
+    # [rows, 1] int32 array is lane-padded 128x by TPU tiling);
+    # row_lo is just the clipped row index — built on device
     bounds_np = np.full(npad, -1, np.int32)
     bounds_np[:n] = bounds_c
-    row_lo_np = np.full(npad, hp._ROW_LO_SENTINEL, np.int32)
-    row_lo_np[:n] = np.arange(n, dtype=np.int32)
     bounds_dev = shard_fn(bounds_np.reshape(-1, 128))
-    row_lo_dev = shard_fn(row_lo_np.reshape(-1, 128))
+    ridx = jnp.arange(npad, dtype=jnp.int32)
+    row_lo_dev = shard_fn(
+        jnp.where(ridx < n, ridx, hp._ROW_LO_SENTINEL).reshape(-1, 128)
+    )
 
     n_scal = 4 + 3 * hp.R_TILES
     out_i: list[np.ndarray] = []
@@ -504,12 +533,14 @@ def banded_adjacency_ring(
                 continue
             s_w = w_starts[w]
             c_off = s_w if s == 0 else 0
-            for b0 in range(0, total, sweep_calls):
-                scal_np = np.zeros((n_dev, sweep_calls, n_scal), np.int32)
+            b0 = 0
+            while b0 < total:
+                size = pick(sweep_buckets, total - b0)
+                scal_np = np.zeros((n_dev, size, n_scal), np.int32)
                 scal_np[:, :, 0] = -1  # padded launches match nothing
                 batch_by_shard: dict[int, list] = {}
                 for d in range(n_dev):
-                    batch = per_shard[d][b0 : b0 + sweep_calls]
+                    batch = per_shard[d][b0 : b0 + size]
                     if not batch:
                         continue
                     batch_by_shard[d] = batch
@@ -518,11 +549,12 @@ def banded_adjacency_ring(
                         tolerance_int, min_bound, max_row_lo,
                         w_rows, cw_rows,
                     )
-                counts = counts_fn(
+                counts = fns_for(size)(
                     own_pk, col_pk, bounds_dev, row_lo_dev,
                     jnp.asarray(scal_np), jnp.int32(s_w), jnp.int32(c_off),
                 )
-                step_pending.append((w, batch_by_shard, counts))
+                step_pending.append((w, batch_by_shard, size, counts))
+                b0 += size
 
         # rotate early: the next step's column block moves while this
         # step's counts drain and phase B runs (phase B keeps using the
@@ -533,8 +565,8 @@ def banded_adjacency_ring(
 
         # ---- drain counts; collect hit launches per (w, d)
         hits: dict[tuple[int, int], list[tuple[int, int]]] = {}
-        for w, batch_by_shard, counts in step_pending:
-            cnp = np.asarray(counts).reshape(n_dev, sweep_calls, hp.R_TILES)
+        for w, batch_by_shard, size, counts in step_pending:
+            cnp = np.asarray(counts).reshape(n_dev, size, hp.R_TILES)
             for d, k in zip(*np.nonzero(cnp.sum(axis=2) > 0)):
                 batch = batch_by_shard.get(int(d), [])
                 if int(k) < len(batch):
@@ -548,12 +580,14 @@ def banded_adjacency_ring(
             s_w = w_starts[w]
             c_off = s_w if s == 0 else 0
             total = max(len(v) for v in shard_hits.values())
-            for b0 in range(0, total, pb_calls):
-                scal_np = np.zeros((n_dev, pb_calls, n_scal), np.int32)
+            b0 = 0
+            while b0 < total:
+                size = pick(pb_buckets, total - b0)
+                scal_np = np.zeros((n_dev, size, n_scal), np.int32)
                 scal_np[:, :, 0] = -1
                 batch_by_shard = {}
                 for d, lst in shard_hits.items():
-                    batch = lst[b0 : b0 + pb_calls]
+                    batch = lst[b0 : b0 + size]
                     if not batch:
                         continue
                     batch_by_shard[d] = batch
@@ -562,14 +596,15 @@ def banded_adjacency_ring(
                         tolerance_int, min_bound, max_row_lo,
                         w_rows, cw_rows,
                     )
-                out = phase_b_fn(
+                b0 += size
+                out = fns_for(size, pb=True)(
                     own_pk, col_pk_s, bounds_dev, row_lo_dev,
                     jnp.asarray(scal_np), jnp.int32(s_w), jnp.int32(c_off),
                 )
                 arr = np.asarray(out)  # [n_dev, 2 * CAP + 1]
                 for d, batch in batch_by_shard.items():
                     if not _decode_ring_shard(
-                        arr[d], batch, pb_calls, out_i, out_j
+                        arr[d], batch, size, out_i, out_j
                     ):
                         # extraction overflow: exact host recompute
                         blk_end = min(n, (d + s + 1) * ns)
