@@ -100,6 +100,50 @@ def run_point(n: int) -> dict:
     int(np.asarray(packed_dev[0, 0]))  # force completion (tunnel)
     gen_secs = time.time() - t0
 
+    if os.environ.get("VDF_SCALE_BACKEND") == "ring":
+        # the multi-chip backend on the real chip (degenerate 1-device
+        # ring unless more devices exist): compiled Mosaic kernels under
+        # shard_map, device-resident packed input, optional row windows
+        from vid_dup_finder_lib_tpu.parallel.mesh import make_mesh
+        from vid_dup_finder_lib_tpu.parallel.ring_pallas import (
+            banded_adjacency_ring,
+        )
+
+        mesh = make_mesh()
+        wr = int(os.environ.get("VDF_RING_WINDOW_ROWS", "0")) or None
+        iters = int(os.environ.get("VDF_SCALE_ITERS", "2"))
+        best = None
+        for _ in range(iters):
+            t0 = time.time()
+            ii, jj = banded_adjacency_ring(
+                packed_dev[:n], bounds, TOL, mesh=mesh,
+                interpret=False, window_rows=wr,
+            )
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        pair_set = set(zip(ii.tolist(), jj.tolist()))
+        missing = sum(
+            1
+            for s in starts
+            for a in range(s, s + CLUSTER_SIZE)
+            for b in range(a + 1, s + CLUSTER_SIZE)
+            if (a, b) not in pair_set
+        )
+        assert missing == 0, f"{missing} planted pairs missed at n={n}"
+        return {
+            "metric": f"ring_hamming_comps_per_sec@{n}",
+            "value": round(comps / best, 1),
+            "unit": "comparisons/s",
+            "secs": round(best, 3),
+            "comps": comps,
+            "n_devices": int(mesh.devices.size),
+            "window_rows": wr,
+            "pairs": len(ii),
+            "planted_clusters_ok": CLUSTERS,
+            "gen_secs_untimed": round(gen_secs, 2),
+            "tile": [hp.TILE_M, hp.TILE_N, hp.BAND_TILES],
+        }
+
     windowed = n >= int(os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000"))
     t0 = time.time()
     if windowed:

@@ -84,13 +84,16 @@ def _ring_jits(
 ):
     """Compiled SPMD ring primitives for one geometry.
 
-    Returns (counts_fn, phase_b_fn, rotate_fn, shard_fn):
-    * counts_fn(own_pk, col_pk, bounds_c, row_lo_c, scalars, s_w, c_off)
+    Returns (operands_fn, counts_fn, phase_b_fn, rotate_fn, shard_fn):
+    * operands_fn(own_pk, col_pk, bounds_c, row_lo_c, s_w, c_off)
+      -> (rows_pm, cols_pm, bounds, row_lo): one (step, window)'s
+      windowed +/-1 operands, built once and shared by every batch
+    * counts_fn(rows_pm, cols_pm, bounds, row_lo, scalars)
       -> int32[n_dev * sweep_calls, R_TILES] per-launch match counts
-    * phase_b_fn(...)
+    * phase_b_fn(same operands, scalars)
       -> int32[n_dev, 2 * CAP + 1] per-shard [word locs | words | total]
     * rotate_fn(col_pk) -> col_pk rotated one step backward on the ring
-    * shard_fn(packed_global) -> the sharded device copy
+    * shard_fn(arr) -> the sharded device copy
     """
     from ..utils.jaxconfig import enable_compilation_cache
 
@@ -146,11 +149,8 @@ def _ring_jits(
         ).reshape(w_rows, 1)
         return rows_pm, cols_pm, b, r
 
-    def counts_body(own_pk, col_pk, bounds_c, row_lo_c, scalars, s_w, c_off):
+    def counts_body(rows_pm, cols_pm, b, r, scalars):
         scal = scalars.reshape(sweep_calls, n_scal)
-        rows_pm, cols_pm, b, r = operands(
-            own_pk, col_pk, bounds_c, row_lo_c, s_w, c_off
-        )
 
         def body(_, sc):
             return None, counts_chunk(sc, rows_pm, cols_pm, b, r)
@@ -158,11 +158,8 @@ def _ring_jits(
         _, counts = jax.lax.scan(body, None, scal)
         return counts  # [sweep_calls, R_TILES]
 
-    def phase_b_body(own_pk, col_pk, bounds_c, row_lo_c, scalars, s_w, c_off):
+    def phase_b_body(rows_pm, cols_pm, b, r, scalars):
         scal = scalars.reshape(pb_calls, n_scal)
-        rows_pm, cols_pm, b, r = operands(
-            own_pk, col_pk, bounds_c, row_lo_c, s_w, c_off
-        )
 
         def body(_, sc):
             packed_t, _ = pack_chunk(sc, rows_pm, cols_pm, b, r)
@@ -187,11 +184,23 @@ def _ring_jits(
         return jax.lax.ppermute(col_pk, axis, perm)
 
     blk = P(axis, None)
+    # operands materialize ONCE per (step, window) — the windowed +/-1
+    # unpack is the expensive part, and hoisting it out of the batch
+    # calls lets any number of launch batches share it
+    operands_fn = jax.jit(
+        shard_map(
+            operands,
+            mesh=mesh,
+            in_specs=(blk, blk, blk, blk, P(), P()),
+            out_specs=(blk, blk, blk, blk),
+            check_vma=False,
+        )
+    )
     counts_fn = jax.jit(
         shard_map(
             counts_body,
             mesh=mesh,
-            in_specs=(blk, blk, blk, blk, P(axis, None, None), P(), P()),
+            in_specs=(blk, blk, blk, blk, P(axis, None, None)),
             out_specs=blk,
             check_vma=False,
         )
@@ -200,7 +209,7 @@ def _ring_jits(
         shard_map(
             phase_b_body,
             mesh=mesh,
-            in_specs=(blk, blk, blk, blk, P(axis, None, None), P(), P()),
+            in_specs=(blk, blk, blk, blk, P(axis, None, None)),
             out_specs=blk,
             check_vma=False,
         )
@@ -218,7 +227,7 @@ def _ring_jits(
     def shard_fn(arr_np):
         return jax.device_put(arr_np, NamedSharding(mesh, blk))
 
-    return counts_fn, phase_b_fn, rotate_fn, shard_fn
+    return operands_fn, counts_fn, phase_b_fn, rotate_fn, shard_fn
 
 
 def _plan_ring_launches(
@@ -468,14 +477,13 @@ def banded_adjacency_ring(
         n, n_dev, ns, bounds_c, w_rows, n_win
     )
 
-    # launch-batch buckets: one counts/phase-B call covers a whole
-    # (step, window)'s launches where possible — the SPMD body unpacks
-    # its windowed +/-1 operands per CALL, so many small calls per
-    # window would redo the unpack each time (at 32M that is GBs of
-    # rebuild per call)
-    sweep_buckets = (8,) if interpret else (64, 1024, 16384)
-    pb_buckets = (4,) if interpret else (16, 256)
-    _, _, rotate_fn, shard_fn = _ring_jits(
+    # The windowed +/-1 operands materialize ONCE per (step, window)
+    # via operands_fn and are shared by every launch batch of that
+    # window; batch sizes chunk largest-fitting-first so padding waste
+    # stays under the smallest bucket.
+    sweep_buckets = (8,) if interpret else (1024, 64)
+    pb_buckets = (4,) if interpret else (64, 16)
+    operands_fn, _, _, rotate_fn, shard_fn = _ring_jits(
         axis, mesh, interpret, sweep_buckets[0], pb_buckets[0],
         w_rows, cw_rows, ns,
     )
@@ -487,10 +495,12 @@ def banded_adjacency_ring(
             size if pb else pb_buckets[0],
             w_rows, cw_rows, ns,
         )
-        return got[1] if pb else got[0]
+        return got[2] if pb else got[1]
 
-    def pick(buckets, rem):
-        return next((b for b in buckets if b >= rem), buckets[-1])
+    def pick(buckets_desc, rem):
+        return next(
+            (b for b in buckets_desc if b <= rem), buckets_desc[-1]
+        )
 
     # sharded device state.  ``packed`` may be a device-resident jax
     # array (e.g. an IncrementalDeviceLibrary gather) — padding then
@@ -533,6 +543,10 @@ def banded_adjacency_ring(
                 continue
             s_w = w_starts[w]
             c_off = s_w if s == 0 else 0
+            ops = operands_fn(
+                own_pk, col_pk, bounds_dev, row_lo_dev,
+                jnp.int32(s_w), jnp.int32(c_off),
+            )
             b0 = 0
             while b0 < total:
                 size = pick(sweep_buckets, total - b0)
@@ -549,12 +563,11 @@ def banded_adjacency_ring(
                         tolerance_int, min_bound, max_row_lo,
                         w_rows, cw_rows,
                     )
-                counts = fns_for(size)(
-                    own_pk, col_pk, bounds_dev, row_lo_dev,
-                    jnp.asarray(scal_np), jnp.int32(s_w), jnp.int32(c_off),
-                )
+                counts = fns_for(size)(*ops, jnp.asarray(scal_np))
                 step_pending.append((w, batch_by_shard, size, counts))
                 b0 += size
+            ops = None  # free this window's operands (counts hold them
+            # alive on device only until their executions finish)
 
         # rotate early: the next step's column block moves while this
         # step's counts drain and phase B runs (phase B keeps using the
@@ -579,6 +592,10 @@ def banded_adjacency_ring(
         for w, shard_hits in sorted(by_window.items()):
             s_w = w_starts[w]
             c_off = s_w if s == 0 else 0
+            ops = operands_fn(
+                own_pk, col_pk_s, bounds_dev, row_lo_dev,
+                jnp.int32(s_w), jnp.int32(c_off),
+            )
             total = max(len(v) for v in shard_hits.values())
             b0 = 0
             while b0 < total:
@@ -597,10 +614,7 @@ def banded_adjacency_ring(
                         w_rows, cw_rows,
                     )
                 b0 += size
-                out = fns_for(size, pb=True)(
-                    own_pk, col_pk_s, bounds_dev, row_lo_dev,
-                    jnp.asarray(scal_np), jnp.int32(s_w), jnp.int32(c_off),
-                )
+                out = fns_for(size, pb=True)(*ops, jnp.asarray(scal_np))
                 arr = np.asarray(out)  # [n_dev, 2 * CAP + 1]
                 for d, batch in batch_by_shard.items():
                     if not _decode_ring_shard(
