@@ -580,3 +580,37 @@ def test_ring_planner_work_scaling():
     # block-boundary stripe splits add a few launches (~1 + band/ns),
     # never O(n_dev) x
     assert totals[16] <= totals[1] * 2.0, totals
+
+
+def test_ring_extraction_overflow_host_fallback(mesh8, monkeypatch):
+    """Ring phase-B extraction-capacity overflow takes the exact NumPy
+    per-launch recompute (dense duplicate block exceeding the per-shard
+    word cap)."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.parallel import ring_pallas
+
+    rng = np.random.default_rng(61)
+    n = 700
+    seed = rng.integers(0, 2**32, 32, dtype=np.uint64).astype(np.uint32)
+    seed[-1] &= np.uint32(0xFF)
+    packed = np.empty((n, 32), np.uint32)
+    for k in range(n):
+        h = seed.copy()
+        for b in rng.choice(1000, 40, replace=False):
+            h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        packed[k] = h
+    bounds = np.full(n, n, dtype=np.int64)
+
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    assert len(hi) > 1000
+
+    monkeypatch.setattr(ring_pallas, "RING_EXTRACT_CAP", 8)
+    ring_pallas._ring_jits.cache_clear()
+    try:
+        ri, rj = ring_pallas.banded_adjacency_ring(
+            packed, bounds, 350, mesh=mesh8
+        )
+    finally:
+        ring_pallas._ring_jits.cache_clear()
+    assert np.array_equal(hi, ri)
+    assert np.array_equal(hj, rj)

@@ -63,3 +63,35 @@ def test_phase_b_word_capacity_overflow_falls_back(monkeypatch):
         hp._build_phase_b.cache_clear()
     assert np.array_equal(hi, ti)
     assert np.array_equal(hj, tj)
+
+
+def test_phase_b_v2_hot_row_overflow_falls_back(monkeypatch):
+    """V2 extraction: when the nonzero-row count exceeds the hot-row
+    gather capacity, the inflated total must force the exact per-launch
+    fallback (missed words would otherwise be silently dropped)."""
+    from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+
+    rng = np.random.default_rng(34)
+    n = 300
+    seed = rng.integers(0, 2**32, 32, dtype=np.uint64).astype(np.uint32)
+    seed[-1] &= np.uint32(0xFF)
+    packed = np.empty((n, 32), np.uint32)
+    for k in range(n):
+        h = seed.copy()
+        for b in rng.choice(1000, 40, replace=False):
+            h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        packed[k] = h
+    bounds = np.full(n, n, dtype=np.int64)
+
+    hi, hj = _host(packed, bounds, 350)
+    assert len(hi) > 1000
+
+    monkeypatch.setattr(hp, "PHASE_B_V2", True)
+    monkeypatch.setattr(hp, "PHASE_B_HOT_ROWS", 1)  # forces hot overflow
+    hp._build_phase_b.cache_clear()
+    try:
+        ti, tj = hp.banded_adjacency_pallas(packed, bounds, 350)
+    finally:
+        hp._build_phase_b.cache_clear()
+    assert np.array_equal(hi, ti)
+    assert np.array_equal(hj, tj)
