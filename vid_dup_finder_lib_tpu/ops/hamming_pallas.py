@@ -75,6 +75,17 @@ BAND_TILES = int(os.environ.get("VDF_BAND_TILES", "16"))
 # pad-row lower-bound sentinel: no real column id ever exceeds it
 _ROW_LO_SENTINEL = 2**30
 
+# launch-scalar vector length: [0] tol, [1] n (col clamp), [2] first row
+# tile (operand-relative), [3 + i] first col tile per row tile,
+# [3 + R + i] min_bound, [3 + 2R + i] max_row_lo, [3 + 3R] col window
+# base (TILE_N units), [4 + 3R] ROW window base in TILE_M units — or -1
+# to read per-row lower bounds from the row_lo operand (the refs
+# search); >= 0 means row_lo is the global row index, computed in-kernel
+# from an iota, so self-search states need no [w, 1] row_lo operand at
+# all (at a 32M-row min-window that operand cost 1.5 GB of 128x
+# lane-padded HBM)
+N_SCAL = 5 + 3 * R_TILES
+
 
 def _is_tpu() -> bool:
     import jax
@@ -89,7 +100,7 @@ def _is_tpu() -> bool:
 def _build_chunk(interpret: bool):
     """Compiled sweep of R_TILES row tiles x BAND_TILES column tiles.
 
-    scalars (int32[4 + 3 * R_TILES]):
+    scalars (int32[N_SCAL = 5 + 3 * R_TILES]):
       [0] tolerance, [1] n, [2] first row-tile index,
       [3 + i] first column-tile index for row tile i,
       [3 + R_TILES + i] min column bound over row tile i,
@@ -99,7 +110,12 @@ def _build_chunk(interpret: bool):
       [3 + 3*R_TILES] window base in TILE_N units: row/col tile indices
       above are RELATIVE to the resident +/-1 window (a sliding slice of
       the library for n beyond HBM; 0 when the whole matrix is resident),
-      while the id masks need ABSOLUTE column ids.
+      while the id masks need ABSOLUTE column ids,
+      [4 + 3*R_TILES] row window base in TILE_M units, or -1: >= 0 means
+      each row's lower column bound is its GLOBAL row index, computed
+      from an in-kernel iota (the self-search — no [*, 1] row_lo operand
+      memory at all); -1 reads per-row bounds from the row_lo operand
+      (the refs search's [0.95d, 1.05d] lower edges).
 
     Each row's valid columns are [row_lo + 1, bounds): the self-search
     passes row_lo = the row's own global index (reproducing j > i), the
@@ -180,7 +196,13 @@ def _build_chunk(interpret: bool):
             col_ids = c0 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, TILE_N), 1
             )
-            row_lo = row_lo_ref[...]  # [TILE_M, 1]
+            row_base = scal_ref[4 + 3 * R_TILES]
+            riota = jax.lax.broadcasted_iota(jnp.int32, (TILE_M, 1), 0)
+            row_lo = jnp.where(
+                row_base >= 0,
+                (row_base + scal_ref[2] + i) * TILE_M + riota,
+                row_lo_ref[...],
+            )  # [TILE_M, 1]
             bounds = bounds_ref[...]  # [TILE_M, 1]
             col_limit = jnp.minimum(bounds, n)  # [TILE_M, 1]
             pack_and_store(
@@ -349,7 +371,7 @@ def banded_adjacency_pallas_v4(
         state = PallasSearchState(packed, bounds)
 
     fn = _build_chunk(interpret)
-    scal0 = jnp.zeros((4 + 3 * R_TILES,), jnp.int32)
+    scal0 = jnp.zeros((N_SCAL,), jnp.int32)
     compiled = fn.lower(
         scal0, state.pm1, state.pm1, state.bounds_dev, state.row_lo_dev
     ).compile()
@@ -413,7 +435,7 @@ def banded_adjacency_pallas_v4(
         packed_refs: list = []
         group_handles: list = []
         counts_buf: list = []
-        scal = np.zeros(4 + 3 * R_TILES, dtype=np.int32)
+        scal = np.zeros(N_SCAL, dtype=np.int32)
         for rt, ct0 in wlaunches:
             scal[:6] = (
                 tolerance_int, n, rt, ct0,
@@ -539,7 +561,13 @@ def _build_chunk_counts(interpret: bool):
             col_ids = c0 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, TILE_N), 1
             )
-            row_lo = row_lo_ref[...]  # [TILE_M, 1]
+            row_base = scal_ref[4 + 3 * R_TILES]
+            riota = jax.lax.broadcasted_iota(jnp.int32, (TILE_M, 1), 0)
+            row_lo = jnp.where(
+                row_base >= 0,
+                (row_base + scal_ref[2] + i) * TILE_M + riota,
+                row_lo_ref[...],
+            )  # [TILE_M, 1]
             col_limit = jnp.minimum(bounds_ref[...], n)
             adj = (
                 (dot >= dot_thresh)
@@ -896,6 +924,11 @@ def _fill_scalars(
         state.max_row_lo[idx]
     )
     scalars_all[:k, 3 + 3 * R_TILES] = w_tn
+    # row-window base: >= 0 selects the in-kernel iota row_lo (global
+    # row index, the self-search); -1 reads the row_lo operand (refs)
+    scalars_all[:k, 4 + 3 * R_TILES] = (
+        w_tm if getattr(state, "row_lo_iota", True) else -1
+    )
 
 
 @functools.cache
@@ -998,6 +1031,8 @@ class PallasSearchState:
     new rows ride h2d and the sort is a device gather.
     """
 
+    row_lo_iota = True  # self-search: in-kernel iota row_lo
+
     def __init__(
         self,
         packed: np.ndarray | None,
@@ -1052,11 +1087,11 @@ class PallasSearchState:
         bounds_dev_np[:n, 0] = np.minimum(bounds, n)
         self.bounds_dev = jnp.asarray(bounds_dev_np)
 
-        # per-row LOWER column bound (exclusive): the self-search's
-        # j > i; pad rows get a sentinel that masks them everywhere
-        row_lo_np = np.full((n_pad, 1), _ROW_LO_SENTINEL, dtype=np.int32)
-        row_lo_np[:n, 0] = np.arange(n, dtype=np.int32)
-        self.row_lo_dev = jnp.asarray(row_lo_np)
+        # self-search row_lo (j > i) is computed in-kernel from an iota
+        # (row_lo_iota); the operand slot aliases bounds — a real
+        # [n_pad, 1] int32 array costs 512 B/row of lane padding
+        # (~0.5 GB per 1M hashes)
+        self.row_lo_dev = self.bounds_dev
 
         # per row tile: first col tile of the band, number of col tiles,
         # and the window extrema (the kernel's interior-tile fast path)
@@ -1233,7 +1268,7 @@ def _window_build_jit(w_rows: int):
     import jax.numpy as jnp
 
     @jax.jit
-    def f(packed_dev, bounds_full, row_lo_full, at):
+    def f(packed_dev, bounds_full, at):
         pk = jax.lax.dynamic_slice(packed_dev, (at, 0), (w_rows, 32))
         shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
 
@@ -1264,10 +1299,7 @@ def _window_build_jit(w_rows: int):
         b = jax.lax.dynamic_slice(
             bounds_full, (at // 128, 0), (w_rows // 128, 128)
         ).reshape(w_rows, 1)
-        r = jax.lax.dynamic_slice(
-            row_lo_full, (at // 128, 0), (w_rows // 128, 128)
-        ).reshape(w_rows, 1)
-        return pm, b, r
+        return pm, b
 
     return f
 
@@ -1290,6 +1322,7 @@ class WindowedPallasState:
     """
 
     windowed = True
+    row_lo_iota = True
     uploaded_rows = None  # the streamed-upload path does not apply
 
     def __init__(
@@ -1321,8 +1354,6 @@ class WindowedPallasState:
 
         bounds_np = np.full(n_pad, -1, dtype=np.int32)
         bounds_np[:n] = np.minimum(bounds, n)
-        row_lo_np = np.full(n_pad, _ROW_LO_SENTINEL, dtype=np.int32)
-        row_lo_np[:n] = np.arange(n, dtype=np.int32)
 
         # window sizing: every single launch (one row tile + its whole
         # BAND_TILES column stripe, anywhere in its band) must fit
@@ -1377,14 +1408,7 @@ class WindowedPallasState:
             bounds_np = np.concatenate(
                 [bounds_np, np.full(need - n_pad, -1, np.int32)]
             )
-            row_lo_np = np.concatenate(
-                [
-                    row_lo_np,
-                    np.full(need - n_pad, _ROW_LO_SENTINEL, np.int32),
-                ]
-            )
         self._bounds_full = jnp.asarray(bounds_np.reshape(-1, 128))
-        self._row_lo_full = jnp.asarray(row_lo_np.reshape(-1, 128))
 
         self.n = n
         self.n_pad = n_pad
@@ -1437,12 +1461,13 @@ class WindowedPallasState:
         # previous window's pages for the new one
         self.pm1 = self.pm1T = self.bounds_dev = self.row_lo_dev = None
         fn = _window_build_jit(self.window_rows)
-        self.pm1, self.bounds_dev, self.row_lo_dev = fn(
+        self.pm1, self.bounds_dev = fn(
             self.packed_dev,
             self._bounds_full,
-            self._row_lo_full,
             jnp.int32(w_start),
         )
+        # iota row_lo: the operand slot aliases bounds (never read)
+        self.row_lo_dev = self.bounds_dev
         if COLT:
             self.pm1T = _transpose_jit()(self.pm1)
         self.w0 = w_start
@@ -1559,7 +1584,7 @@ def banded_adjacency_pallas(
             state.ensure_rows(need)
             ph["stream"] += time.perf_counter() - t0
             pm1 = colsA = state.pm1
-        scalars_all = np.zeros((sweep_calls, 4 + 3 * R_TILES), np.int32)
+        scalars_all = np.zeros((sweep_calls, N_SCAL), np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         counts = counts_fn(
@@ -1595,7 +1620,7 @@ def banded_adjacency_pallas(
                 state.move_window(w_start)
             pm1 = state.pm1
             bounds_dev = state.bounds_dev
-        scalars_all = np.zeros((sweep_calls, 4 + 3 * R_TILES), np.int32)
+        scalars_all = np.zeros((sweep_calls, N_SCAL), np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         out = run(
             jnp.asarray(scalars_all), pm1, pm1, bounds_dev,
@@ -1654,7 +1679,7 @@ def _phase_b_fallback(
             w_start = min((rt0 * TILE_M // align) * align, wmax)
             if w_start != state.w0:
                 state.move_window(w_start)
-        scal = np.zeros((1, 4 + 3 * R_TILES), np.int32)
+        scal = np.zeros((1, N_SCAL), np.int32)
         _fill_scalars(scal, [(rt0, cts)], state, tolerance_int, n, w_start)
         packed_t, _ = fn(
             jnp.asarray(scal[0]), state.pm1, state.pm1, state.bounds_dev,
@@ -1793,9 +1818,7 @@ def _banded_adjacency_onepass(
             state.ensure_rows(need)
             ph["stream"] += time.perf_counter() - t0
             pm1 = state.pm1
-        scalars_all = np.zeros(
-            (sweep_calls, 4 + 3 * R_TILES), dtype=np.int32
-        )
+        scalars_all = np.zeros((sweep_calls, N_SCAL), dtype=np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         packed_all, counts_all = sweep_fn(
@@ -1983,6 +2006,8 @@ def _refs_combine_jit():
 class _RefsState(PallasSearchState):
     """PallasSearchState over the combined [cands | refs] matrix, with
     launch metadata covering only the refs row tiles."""
+
+    row_lo_iota = False  # per-ref [0.95d, 1.05d] lower bounds are data
 
     def __init__(self, packed_pad, bounds_full, row_lo_full, n_cands,
                  ref0, r, combined_dev=None) -> None:

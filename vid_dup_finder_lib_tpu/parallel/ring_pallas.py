@@ -104,7 +104,7 @@ def _ring_jits(
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    n_scal = 4 + 3 * hp.R_TILES
+    n_scal = hp.N_SCAL
     counts_chunk = hp._build_chunk_counts(interpret)
     pack_chunk = hp._build_chunk(interpret)
 
@@ -320,6 +320,7 @@ def _fill_ring_scalars(
         scal[k, 4] = min(int(min_bound[g_rt]), blk_end)
         scal[k, 5] = int(max_row_lo[g_rt])
         scal[k, 6] = col_base_t
+        scal[k, 7] = row_base_t  # in-kernel iota row_lo (self-search)
 
 
 def _host_launch_pairs(
@@ -521,12 +522,11 @@ def banded_adjacency_ring(
     bounds_np = np.full(npad, -1, np.int32)
     bounds_np[:n] = bounds_c
     bounds_dev = shard_fn(bounds_np.reshape(-1, 128))
-    ridx = jnp.arange(npad, dtype=jnp.int32)
-    row_lo_dev = shard_fn(
-        jnp.where(ridx < n, ridx, hp._ROW_LO_SENTINEL).reshape(-1, 128)
-    )
+    # self-search row_lo comes from the in-kernel iota (the row-base
+    # scalar); the operand slot aliases bounds and is never read
+    row_lo_dev = bounds_dev
 
-    n_scal = 4 + 3 * hp.R_TILES
+    n_scal = hp.N_SCAL
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     col_pk = own_pk
