@@ -65,13 +65,13 @@ def test_reference_vids_distances(ref_hashes):
 
 
 def test_resize_lsb_sensitivity_on_real_content(ref_hashes):
-    """PARITY deviation 1 evidence: our Lanczos3 reconstruction may
-    differ from fast_image_resize's u8 fixed-point path by <= 1-2 gray
-    levels at rounding boundaries.  Model that as random +/-1
-    perturbations of the resized 16x16x16 cubes of the reference's own
-    videos (rounding-boundary pixels are spatially pseudo-random) and
-    check the group decision margins survive: perturbed hashes stay far
-    under tolerance to their original, far over to the other group."""
+    """Resize-rounding robustness margin on real content (historically
+    the PARITY deviation-1 evidence; the deviation itself was closed in
+    round 3 by implementing the u8 fixed-point path, but the margin
+    argument stays valuable): random +/-1 perturbations of the resized
+    16x16x16 cubes of the reference's own videos must leave group
+    decisions intact — perturbed hashes stay far under tolerance to
+    their original, far over to the other group."""
     import numpy as np
 
     from vid_dup_finder_lib_tpu.models.builder import (
