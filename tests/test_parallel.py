@@ -614,3 +614,30 @@ def test_ring_extraction_overflow_host_fallback(mesh8, monkeypatch):
         ring_pallas._ring_jits.cache_clear()
     assert np.array_equal(hi, ri)
     assert np.array_equal(hj, rj)
+
+
+def test_ring_multi_step_rotation_full_band(mesh8):
+    """k_max > 1 coverage: equal durations make every row's band span the
+    WHOLE library, so each shard must sweep against all 8 column blocks
+    (7 ppermute rotations) — the full-rectangle worst case, exact."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.parallel.ring_pallas import (
+        banded_adjacency_ring,
+    )
+
+    rng = np.random.default_rng(62)
+    n = 8192  # ns = 1024 on 8 shards
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    packed[:, -1] &= np.uint32(0xFF)
+    # duplicate pairs landing in different column blocks of one row
+    for i, j in ((10, 3000), (1500, 7900), (4096, 6000)):
+        packed[j] = packed[i]
+    bounds = np.full(n, n, dtype=np.int64)  # equal durations: full band
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    assert {(10, 3000), (1500, 7900), (4096, 6000)} <= set(
+        zip(hi.tolist(), hj.tolist())
+    )
+    ri, rj = banded_adjacency_ring(packed, bounds, 350, mesh=mesh8)
+    assert np.array_equal(hi, ri) and np.array_equal(hj, rj)
