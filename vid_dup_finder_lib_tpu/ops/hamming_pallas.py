@@ -61,7 +61,8 @@ PM_DTYPE = os.environ.get("VDF_PM_DTYPE", "int8")
 # NEGATIVE (0.46 s vs 0.38 s): the per-step lax.cond costs more than the
 # mask VPU passes it skips.
 COLT = os.environ.get("VDF_COLT") == "1"
-COUNTS_INTERIOR = os.environ.get("VDF_COUNTS_INTERIOR", "0") == "1"
+# "0" off (default), "1" lax.cond variant, "2" pl.when variant
+COUNTS_INTERIOR = os.environ.get("VDF_COUNTS_INTERIOR", "0")
 
 # TILE_M=1024 (round 3): 2x MACs per grid step amortizes the fixed
 # per-step cost — 1M resident sweep 0.588 -> 0.573 s vs TILE_M=512;
@@ -576,29 +577,45 @@ def _build_chunk_counts(interpret: bool):
             )
             return jnp.sum(adj.astype(jnp.int32))
 
-        if COUNTS_INTERIOR:
-            # same interior-tile fast path as the packing kernel: tiles
-            # fully inside every row's window skip the id-mask VPU
-            # passes (the scalar result lets lax.cond apply — the
-            # big-vector Mosaic limitation only hits vector yields)
+        def store(cnt):
+            @pl.when(j == 0)
+            def _init():
+                out_ref[...] = cnt + jnp.zeros((1, 128), jnp.int32)
+
+            @pl.when(j != 0)
+            def _acc():
+                out_ref[...] = out_ref[...] + cnt
+
+        if COUNTS_INTERIOR == "1":
+            # interior fast path via lax.cond — measured NEGATIVE on v5e
+            # (0.46 s vs 0.38 s counts drain at 1M): the per-step cond
+            # costs more than the mask VPU passes it skips
             min_bound = scal_ref[3 + R_TILES + i]
             max_row_lo = scal_ref[3 + 2 * R_TILES + i]
             interior = (c0 > max_row_lo) & (c0 + TILE_N <= min_bound)
-            cnt = jax.lax.cond(
-                interior,
-                lambda: jnp.sum((dot >= dot_thresh).astype(jnp.int32)),
-                boundary_cnt,
+            store(
+                jax.lax.cond(
+                    interior,
+                    lambda: jnp.sum((dot >= dot_thresh).astype(jnp.int32)),
+                    boundary_cnt,
+                )
             )
+        elif COUNTS_INTERIOR == "2":
+            # pl.when variant (predicated regions like the packing
+            # kernel's fast path, no scf.if around the reduction)
+            min_bound = scal_ref[3 + R_TILES + i]
+            max_row_lo = scal_ref[3 + 2 * R_TILES + i]
+            interior = (c0 > max_row_lo) & (c0 + TILE_N <= min_bound)
+
+            @pl.when(interior)
+            def _i():
+                store(jnp.sum((dot >= dot_thresh).astype(jnp.int32)))
+
+            @pl.when(jnp.logical_not(interior))
+            def _b():
+                store(boundary_cnt())
         else:
-            cnt = boundary_cnt()
-
-        @pl.when(j == 0)
-        def _init():
-            out_ref[...] = cnt + jnp.zeros((1, 128), jnp.int32)
-
-        @pl.when(j != 0)
-        def _acc():
-            out_ref[...] = out_ref[...] + cnt
+            store(boundary_cnt())
 
     cols_spec = (
         pl.BlockSpec(
