@@ -132,6 +132,7 @@ def main() -> None:
     packed, durations, starts = synth_library(n)
     bounds = self_search_bounds(durations)
     comps = int(np.sum(np.maximum(bounds - np.arange(1, n + 1), 0)))
+    samples: list[float] | None = None
 
     from vid_dup_finder_lib_tpu.ops.hamming import (
         banded_adjacency_device,
@@ -187,12 +188,18 @@ def main() -> None:
             cold_secs = time.time() - t0
             # RESIDENT: the library is now device-resident (the
             # production steady state — hashes are born on device), so a
-            # re-search pays only the sweep.
-            t0 = time.time()
-            ii, jj = banded_adjacency_pallas(
-                packed, bounds, TOLERANCE_INT, state=state
-            )
-            dt = time.time() - t0
+            # re-search pays only the sweep.  Tunnel-load variance is
+            # +/-35% between runs (BASELINE.md), so the headline is the
+            # MEDIAN of several sweeps with the spread reported.
+            iters = int(os.environ.get("VDF_BENCH_ITERS", "3"))
+            samples = []
+            for _ in range(iters):
+                t0 = time.time()
+                ii, jj = banded_adjacency_pallas(
+                    packed, bounds, TOLERANCE_INT, state=state
+                )
+                samples.append(time.time() - t0)
+            dt = float(np.median(samples))
     else:
         if backend == "host":
 
@@ -221,6 +228,16 @@ def main() -> None:
                     missing += 1
     assert missing == 0, f"{missing} planted pairs missed"
 
+    samples = samples or [dt]
+    phases = {}
+    if use_pallas:
+        from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+
+        phases = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in hp.LAST_SWEEP_PHASES.items()
+        }
+
     base_rate = cpu_baseline_rate(packed, bounds)
     rate_resident = comps / dt
     # Two honest numbers: "resident" = sweep over the device-resident
@@ -241,6 +258,11 @@ def main() -> None:
                 "cold_rate": round(rate_cold, 1),
                 "cold_secs": round(cold_secs, 3),
                 "resident_sweep_secs": round(dt, 3),
+                "resident_samples_secs": [round(s, 3) for s in samples],
+                "resident_spread_secs": round(
+                    max(samples) - min(samples), 3
+                ),
+                "phases": phases,
             }
         )
     )

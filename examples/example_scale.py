@@ -71,9 +71,6 @@ def main() -> None:
         lib.append(hashes_to_matrix(hashes[a : a + 1024]))
 
     # -- 2. repeated sweeps against the resident rows ------------------
-    order = np.argsort(
-        [(h.duration, h.src_path) for h in hashes], axis=0
-    )  # any stable (duration, path) order works; Search does this too
     durs = np.array(sorted(h.duration for h in hashes), np.int64)
     bounds = np.searchsorted(durs, (durs * 1.1).astype(np.int64), "right")
     state = lib.state(np.argsort(durs, kind="stable"), bounds)

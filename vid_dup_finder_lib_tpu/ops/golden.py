@@ -12,6 +12,16 @@ This is the parity oracle for every device kernel: crop+resize -> center ->
   a [0, 255] clamp — each pass rounds to u8, exactly like the crate
   (``crop_resize_f64`` keeps the previous single-round f64 model for
   comparison; the two differ by <= 1 gray level at rounding boundaries).
+
+  CAVEAT (PARITY.md deviation 1): this fixed-point model is RECONSTRUCTED
+  from fast_image_resize's published algorithm — it has never been run
+  against the actual Rust crate (no Rust toolchain in this environment),
+  and ``tests/oracles/reference_vids_hashes.json`` freezes hashes produced
+  by THIS code, so a wrong quantization rule (e.g. the Normalizer16
+  precision search range, or per-window vs per-axis normalization) would
+  not be caught by CI.  Before treating bit parity with the reference
+  binary as established, regenerate a fixture of resized cubes/hashes
+  with the real crate offline and commit it as an independent oracle.
 * DCT: unnormalized DCT-II along each axis of the 16x16x16 cube
   (``raw_dct_ops.rs:107-142``); only coefficient *signs* survive, so any
   uniform positive per-axis scale is parity-equivalent.

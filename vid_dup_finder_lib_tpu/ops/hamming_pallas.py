@@ -76,6 +76,10 @@ BAND_TILES = int(os.environ.get("VDF_BAND_TILES", "16"))
 # pad-row lower-bound sentinel: no real column id ever exceeds it
 _ROW_LO_SENTINEL = 2**30
 
+# phase breakdown of the most recent banded_adjacency_pallas sweep
+# (seconds + counters) — bench.py reports it alongside the headline rate
+LAST_SWEEP_PHASES: dict = {}
+
 # launch-scalar vector length: [0] tol, [1] n (col clamp), [2] first row
 # tile (operand-relative), [3 + i] first col tile per row tile,
 # [3 + R + i] min_bound, [3 + 2R + i] max_row_lo, [3 + 3R] col window
@@ -1537,33 +1541,107 @@ def banded_adjacency_pallas(
 
     dbg = os.environ.get("VDF_SWEEP_DEBUG") == "1"
     ph = {"dispatch": 0.0, "stream": 0.0, "drain": 0.0, "phase_b": 0.0,
-          "drains": 0, "batches": 0, "hits": 0}
+          "fetch_b": 0.0, "drains": 0, "batches": 0, "hits": 0,
+          "b_batches": 0}
     is_windowed = getattr(state, "windowed", False)
-    counts_inflight = int(os.environ.get("VDF_COUNTS_INFLIGHT", "256"))
+    # Overlapped A/B pipeline (round 4): once pendingA exceeds
+    # 2 * drain_group, the OLDEST drain_group counts drain in one
+    # concatenated d2h while later phase-A batches are still executing,
+    # and the hit launches found so far are re-dispatched through the
+    # packing kernel immediately — phase-B compute and its (batched)
+    # result fetch hide behind the remaining phase-A device time instead
+    # of serializing after it (the old A -> drain -> B sequencing put one
+    # counts round trip plus ~3 phase-B fetches on the critical path at
+    # 1M: 0.6-0.8 s end-to-end against a 0.39 s bare kernel).
+    drain_group = int(os.environ.get("VDF_COUNTS_DRAIN_GROUP", "8"))
+    fetch_b_max = int(os.environ.get("VDF_FETCH_B_MAX", "64"))
+    pb_sizes = (8,) if interpret else (PHASE_B_CALLS, 16)
 
-    hit_launches: list[tuple[int, tuple[int, ...]]] = []
-    pending: list[tuple[list, object]] = []
+    pendingA: list[tuple[list, object]] = []  # (batch, counts handle)
+    hits_cur: list[tuple[int, tuple[int, ...]]] = []  # current window
+    pendingB: list[tuple[object, int, list]] = []  # (out, size, batch)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    cur_w: int | None = None  # w_start the current window was built at
 
-    def drain_pending() -> None:
-        if not pending:
+    def drain_some(k: int) -> None:
+        """Decode the oldest ``k`` pending count handles (one d2h)."""
+        take = pendingA[:k]
+        del pendingA[:k]
+        if not take:
             return
         t0 = time.perf_counter()
         ph["drains"] += 1
         flat = np.asarray(
-            jnp.concatenate([c.reshape(-1) for (_, c) in pending])
+            jnp.concatenate([c.reshape(-1) for (_, c) in take])
         )
         off = 0
-        for batch, counts in pending:
+        for batch, counts in take:
             size = int(np.prod(counts.shape))
             cnp = flat[off : off + size].reshape(counts.shape)
             off += size
-            for k in np.nonzero(cnp.sum(axis=1) > 0)[0]:
-                if int(k) < len(batch):
-                    hit_launches.append(batch[int(k)])
-        pending.clear()
+            for k2 in np.nonzero(cnp.sum(axis=1) > 0)[0]:
+                if int(k2) < len(batch):
+                    hits_cur.append(batch[int(k2)])
+                    ph["hits"] += 1
         ph["drain"] += time.perf_counter() - t0
 
-    # Phase A: counts-only sweep over every launch.
+    def dispatch_b(flush: bool) -> None:
+        """Re-run accumulated hit launches with the packing kernel.
+
+        Launches in ``hits_cur`` were counted against the CURRENT window,
+        so the packing re-run uses the same resident operands.  Without
+        ``flush`` only full PHASE_B_CALLS batches go out; a flush pads the
+        remainder into the smallest precompiled bucket."""
+        t0 = time.perf_counter()
+        while hits_cur:
+            if len(hits_cur) >= pb_sizes[0]:
+                size = pb_sizes[0]
+            elif flush:
+                size = next(
+                    (s for s in sorted(pb_sizes) if s >= len(hits_cur)),
+                    pb_sizes[0],
+                )
+            else:
+                break
+            batch = hits_cur[: min(size, len(hits_cur))]
+            del hits_cur[: len(batch)]
+            run = _build_phase_b(interpret, size)
+            scalars_all = np.zeros((size, N_SCAL), np.int32)
+            _fill_scalars(
+                scalars_all, batch, state, tolerance_int, n, cur_w
+            )
+            out = run(
+                jnp.asarray(scalars_all), state.pm1, state.pm1,
+                state.bounds_dev, state.row_lo_dev,
+            )
+            pendingB.append((out, size, batch))
+            ph["b_batches"] += 1
+        ph["phase_b"] += time.perf_counter() - t0
+
+    def fetch_b() -> None:
+        """Fetch and decode every pending phase-B result in ONE d2h
+        (the per-batch fetches used to cost one ~30-150 ms tunnel round
+        trip each).  Blocks until the dispatched phase-B work finishes —
+        windowed states call this before moving the window so the old
+        window's buffers can release."""
+        take = pendingB[:]
+        pendingB.clear()
+        if not take:
+            return
+        t0 = time.perf_counter()
+        flat = np.asarray(jnp.concatenate([o for (o, _, _) in take]))
+        width = 2 * EXTRACT_WORD_CAP + 1
+        for bi, (_, size, batch) in enumerate(take):
+            arr = flat[bi * width : (bi + 1) * width]
+            if not _decode_phase_b(arr, size, batch, out_i, out_j):
+                # word capacity exceeded (rare): per-launch host fallback
+                _phase_b_fallback(
+                    state, batch, tolerance_int, n, interpret, out_i,
+                    out_j,
+                )
+        ph["fetch_b"] += time.perf_counter() - t0
+
     pm1 = state.pm1
     colsA = state.pm1T if COLT else state.pm1
     bounds_dev = state.bounds_dev
@@ -1575,12 +1653,14 @@ def banded_adjacency_pallas(
         counts_fn = _build_sweep_counts(interpret, sweep_calls)
         if is_windowed:
             if w_start != state.w0:
-                # drain first: it blocks until the queued launches against
-                # the previous window finish, so the old and new window
-                # buffers never coexist in HBM (counts drains are cheap —
-                # one small fetch).  The local aliases must drop too, or
-                # they alone keep the old window alive.
-                drain_pending()
+                # finish EVERYTHING against the previous window first:
+                # drain its counts, dispatch + fetch its phase B (the
+                # fetch blocks until the queued launches finish), so the
+                # old and new window buffers never coexist in HBM — and
+                # phase B never has to re-slide windows in a second pass.
+                drain_some(len(pendingA))
+                dispatch_b(flush=True)
+                fetch_b()
                 pm1 = colsA = bounds_dev = None
                 t0 = time.perf_counter()
                 state.move_window(w_start)
@@ -1588,6 +1668,7 @@ def banded_adjacency_pallas(
             pm1 = state.pm1
             colsA = state.pm1T if COLT else state.pm1
             bounds_dev = state.bounds_dev
+            cur_w = w_start
         if state.uploaded_rows is not None:
             # streamed build: h2d overlaps the counts sweep
             need = 0
@@ -1610,48 +1691,24 @@ def banded_adjacency_pallas(
         )
         ph["dispatch"] += time.perf_counter() - t0
         ph["batches"] += 1
-        pending.append((batch, counts))
-        if interpret or len(pending) >= counts_inflight:
-            drain_pending()
-    drain_pending()
-    ph["hits"] = len(hit_launches)
-
-    # Phase B: re-run only the hit launches with the packing kernel;
-    # fetch nothing until every phase-B batch is dispatched.
-    out_i: list[np.ndarray] = []
-    out_j: list[np.ndarray] = []
-    t_b0 = time.perf_counter()
-    pb_sizes = (8,) if interpret else (PHASE_B_CALLS, 16)
-    results: list[tuple[object, int, list]] = []
-    for batch, w_start in _gen_batches(state, hit_launches, pb_sizes):
-        sweep_calls = next(
-            (s for s in sorted(pb_sizes) if s >= len(batch)), pb_sizes[0]
-        )
-        run = _build_phase_b(interpret, sweep_calls)
-        if is_windowed:
-            if w_start != state.w0:
-                if results:
-                    # finish in-flight phase-B work against the old window
-                    results[-1][0].block_until_ready()
-                pm1 = bounds_dev = None
-                state.move_window(w_start)
-            pm1 = state.pm1
-            bounds_dev = state.bounds_dev
-        scalars_all = np.zeros((sweep_calls, N_SCAL), np.int32)
-        _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
-        out = run(
-            jnp.asarray(scalars_all), pm1, pm1, bounds_dev,
-            state.row_lo_dev,
-        )
-        results.append((out, sweep_calls, batch, w_start))
-    for out, sweep_calls, batch, w_start in results:
-        arr = np.asarray(out)
-        if not _decode_phase_b(arr, sweep_calls, batch, out_i, out_j):
-            # word capacity exceeded (rare): per-launch host fallback
-            _phase_b_fallback(
-                state, batch, tolerance_int, n, interpret, out_i, out_j
-            )
-    ph["phase_b"] = time.perf_counter() - t_b0
+        pendingA.append((batch, counts))
+        if interpret:
+            # emulated buffers: fully synchronous per batch
+            drain_some(len(pendingA))
+            dispatch_b(flush=True)
+            fetch_b()
+        elif len(pendingA) >= 2 * drain_group:
+            drain_some(drain_group)
+            dispatch_b(flush=False)
+            # windowed states only fetch at window boundaries: a mid-
+            # stream fetch could take the _phase_b_fallback path, whose
+            # exact recompute re-slides the window under the launches
+            # still being dispatched against the current one
+            if not is_windowed and len(pendingB) >= fetch_b_max:
+                fetch_b()
+    drain_some(len(pendingA))
+    dispatch_b(flush=True)
+    fetch_b()
 
     if dbg:
         print(
@@ -1662,6 +1719,8 @@ def banded_adjacency_pallas(
             ),
             file=sys.stderr,
         )
+    global LAST_SWEEP_PHASES
+    LAST_SWEEP_PHASES = dict(ph)
 
     if not out_i:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)

@@ -343,8 +343,15 @@ def _host_launch_pairs(
     c1 = min((g_ct0 + band) * tile_n, blk_end, n)
     if r0 >= n or c1 <= c0:
         return
+    # ``packed`` may be a device-resident jax array (the
+    # IncrementalDeviceLibrary path): fetch the two SMALL slices to host
+    # first — broadcasting them on device would materialize a
+    # [tile_m, band * tile_n, 32] uint32 temp (~2 GB) and push it d2h
+    # through the slow tunnel exactly when the overflow fallback strikes.
+    rows_np = np.asarray(packed[r0:r1])
+    cols_np = np.asarray(packed[c0:c1])
     dist = np.bitwise_count(
-        packed[r0:r1, None, :] ^ packed[None, c0:c1, :]
+        rows_np[:, None, :] ^ cols_np[None, :, :]
     ).sum(axis=2)
     rows = np.arange(r0, r1)[:, None]
     cols = np.arange(c0, c1)[None, :]
@@ -445,10 +452,21 @@ def banded_adjacency_ring(
     bounds = np.asarray(bounds, dtype=np.int64)
     bounds_c = np.minimum(bounds, n)
 
-    # row windows per shard
+    # row windows per shard.  The default derives from the same HBM
+    # budget as the single-chip VDF_WINDOWED_THRESHOLD rule: a shard's
+    # resident +/-1 operands are ~(w_rows + cw_rows) KB ~= 2 * w_rows KB,
+    # so cap w_rows at threshold / 2 — without this, the auto multi-chip
+    # path would build whole-shard operands and OOM on shards whose +/-1
+    # expansion exceeds HBM (round-3 ADVICE finding 2).
     if window_rows is None:
         env = os.environ.get("VDF_RING_WINDOW_ROWS")
-        window_rows = int(env) if env else ns
+        if env:
+            window_rows = int(env)
+        else:
+            threshold = int(
+                os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
+            )
+            window_rows = min(ns, max(_align(), threshold // 2))
     w_rows = min(max(-(-int(window_rows) // align) * align, align), ns)
     n_win = -(-ns // w_rows)
     w_starts = [min(w * w_rows, ns - w_rows) for w in range(n_win)]
