@@ -210,7 +210,7 @@ def _build_band(interpret: bool):
         ],
     )
 
-    pow_lo_np, pow_hi_np = _pack_matrices()
+    pow_lo_np, pow_hi_np = _pack_matrices(TILE_M)
 
     def one_launch(scalars, pm1_rows, bounds, pm1_full):
         return pl.pallas_call(

@@ -33,6 +33,7 @@ import functools
 import os
 import sys
 import time
+import typing
 
 import numpy as np
 
@@ -76,6 +77,30 @@ BAND_TILES = int(os.environ.get("VDF_BAND_TILES", "16"))
 # pad-row lower-bound sentinel: no real column id ever exceeds it
 _ROW_LO_SENTINEL = 2**30
 
+
+class Geometry(typing.NamedTuple):
+    """Kernel tile geometry as an explicit, hashable parameter.
+
+    Threaded through every cached kernel builder and stored on search
+    states (``state.geom``) instead of living only in mutable module
+    globals — two geometries can now coexist in one process (e.g. the
+    production tiles next to a tiny-tile dryrun, or the BAND_TILES=1
+    phase-B repack next to the BAND_TILES=16 counts sweep) without
+    monkeypatching + jit-cache clearing.  The defaults bind the
+    VDF_TILE_M/VDF_TILE_N/VDF_R_TILES/VDF_BAND_TILES env knobs read at
+    import, so ``Geometry()`` is the configured production geometry.
+    """
+
+    tile_m: int = TILE_M
+    tile_n: int = TILE_N
+    r_tiles: int = R_TILES
+    band_tiles: int = BAND_TILES
+
+    @property
+    def n_scal(self) -> int:
+        # launch-scalar vector length (layout: see N_SCAL comment above)
+        return 5 + 3 * self.r_tiles
+
 # phase breakdown of the most recent banded_adjacency_pallas sweep
 # (seconds + counters) — bench.py reports it alongside the headline rate
 LAST_SWEEP_PHASES: dict = {}
@@ -102,7 +127,7 @@ def _is_tpu() -> bool:
 
 
 @functools.cache
-def _build_chunk(interpret: bool):
+def _build_chunk(interpret: bool, geom: Geometry = Geometry()):
     """Compiled sweep of R_TILES row tiles x BAND_TILES column tiles.
 
     scalars (int32[N_SCAL = 5 + 3 * R_TILES]):
@@ -134,6 +159,9 @@ def _build_chunk(interpret: bool):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # geometry locals shadow the module-global defaults for the closure
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
 
     def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, row_lo_ref,
                pow_lo_ref, pow_hi_ref, out_ref):
@@ -258,7 +286,7 @@ def _build_chunk(interpret: bool):
         ),
     )
 
-    pow_lo_np, pow_hi_np = _pack_matrices()
+    pow_lo_np, pow_hi_np = _pack_matrices(TILE_M)
 
     # raise the scoped-VMEM cap (default 16 MB) so larger tile geometries
     # compile; v5e has 128 MB of VMEM
@@ -362,7 +390,6 @@ def banded_adjacency_pallas_v4(
     import jax
     import jax.numpy as jnp
 
-    assert R_TILES == 1, "the v4 driver assumes single-row-tile launches"
     assert not getattr(state, "windowed", False), (
         "the v4 driver does not support windowed states"
     )
@@ -374,9 +401,12 @@ def banded_adjacency_pallas_v4(
     bounds = np.asarray(bounds, dtype=np.int64)
     if state is None:
         state = PallasSearchState(packed, bounds)
+    geom = state.geom
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
+    assert R_TILES == 1, "the v4 driver assumes single-row-tile launches"
 
-    fn = _build_chunk(interpret)
-    scal0 = jnp.zeros((N_SCAL,), jnp.int32)
+    fn = _build_chunk(interpret, geom)
+    scal0 = jnp.zeros((geom.n_scal,), jnp.int32)
     compiled = fn.lower(
         scal0, state.pm1, state.pm1, state.bounds_dev, state.row_lo_dev
     ).compile()
@@ -440,7 +470,7 @@ def banded_adjacency_pallas_v4(
         packed_refs: list = []
         group_handles: list = []
         counts_buf: list = []
-        scal = np.zeros(N_SCAL, dtype=np.int32)
+        scal = np.zeros(geom.n_scal, dtype=np.int32)
         for rt, ct0 in wlaunches:
             scal[:6] = (
                 tolerance_int, n, rt, ct0,
@@ -497,11 +527,15 @@ def banded_adjacency_pallas_v4(
 
 
 @functools.cache
-def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
+def _build_sweep(
+    interpret: bool,
+    sweep_calls: int = SWEEP_CALLS,
+    geom: Geometry = Geometry(),
+):
     import jax
 
     # the scan body reuses the single-launch pallas program
-    chunk_fn = _build_chunk(interpret)
+    chunk_fn = _build_chunk(interpret, geom)
 
     @jax.jit
     def sweep(scalars_all, rows_pm, cols_pm, bounds, row_lo):
@@ -522,10 +556,17 @@ def _build_sweep(interpret: bool, sweep_calls: int = SWEEP_CALLS):
 
 
 @functools.cache
-def _build_chunk_counts(interpret: bool):
+def _build_chunk_counts(
+    interpret: bool,
+    geom: Geometry = Geometry(),
+    per_tile: bool = False,
+):
     """Counts-only sweep chunk: the same tiling and window masks as
     ``_build_chunk``, but the only output is ONE int32 match count per row
-    tile, accumulated across the BAND_TILES grid axis.
+    tile, accumulated across the BAND_TILES grid axis — or, with
+    ``per_tile``, one count per (row tile, column tile) so the phase-B
+    repack can re-run only the hit TILES with a BAND_TILES=1 geometry
+    instead of whole 16-tile launch stripes.
 
     512 bytes of HBM writes per launch instead of ~1 MB of packed
     adjacency, so hundreds of launches can stay in flight and count
@@ -541,6 +582,8 @@ def _build_chunk_counts(interpret: bool):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
 
     def kernel(scal_ref, rows_ref, cols_ref, bounds_ref, row_lo_ref,
                out_ref):
@@ -581,14 +624,19 @@ def _build_chunk_counts(interpret: bool):
             )
             return jnp.sum(adj.astype(jnp.int32))
 
-        def store(cnt):
-            @pl.when(j == 0)
-            def _init():
+        if per_tile:
+            def store(cnt):
+                # per-(i, j) output block: no cross-j accumulation
                 out_ref[...] = cnt + jnp.zeros((1, 128), jnp.int32)
+        else:
+            def store(cnt):
+                @pl.when(j == 0)
+                def _init():
+                    out_ref[...] = cnt + jnp.zeros((1, 128), jnp.int32)
 
-            @pl.when(j != 0)
-            def _acc():
-                out_ref[...] = out_ref[...] + cnt
+                @pl.when(j != 0)
+                def _acc():
+                    out_ref[...] = out_ref[...] + cnt
 
         if COUNTS_INTERIOR == "1":
             # interior fast path via lax.cond — measured NEGATIVE on v5e
@@ -657,10 +705,13 @@ def _build_chunk_counts(interpret: bool):
         ],
         out_specs=pl.BlockSpec(
             (1, 128),
-            lambda i, j, s: (i, 0),
+            (lambda i, j, s: (i * BAND_TILES + j, 0))
+            if per_tile
+            else (lambda i, j, s: (i, 0)),
             memory_space=pltpu.VMEM,
         ),
     )
+    out_rows = R_TILES * BAND_TILES if per_tile else R_TILES
 
     vmem_mb = int(os.environ.get("VDF_VMEM_LIMIT_MB", "96"))
     compiler_params = (
@@ -673,7 +724,7 @@ def _build_chunk_counts(interpret: bool):
         counts = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((R_TILES, 128), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
             compiler_params=compiler_params,
             interpret=interpret,
         )(scalars, rows_pm, cols_pm, bounds, row_lo)
@@ -683,15 +734,21 @@ def _build_chunk_counts(interpret: bool):
 
 
 @functools.cache
-def _build_sweep_counts(interpret: bool, sweep_calls: int):
+def _build_sweep_counts(
+    interpret: bool,
+    sweep_calls: int,
+    geom: Geometry = Geometry(),
+    per_tile: bool = False,
+):
     import jax
 
-    chunk_fn = _build_chunk_counts(interpret)
+    chunk_fn = _build_chunk_counts(interpret, geom, per_tile)
 
     @jax.jit
     def sweep(scalars_all, rows_pm, cols_pm, bounds, row_lo):
-        """int32[sweep_calls, 4 + 3*R_TILES] -> int32[sweep_calls, R_TILES]
-        per-row-tile match counts (the whole launch stripe summed)."""
+        """int32[sweep_calls, N_SCAL] -> int32[sweep_calls, R_TILES]
+        per-row-tile match counts (the whole launch stripe summed), or
+        [sweep_calls, R_TILES * BAND_TILES] per-tile counts."""
 
         def body(_, scal):
             return None, chunk_fn(scal, rows_pm, cols_pm, bounds, row_lo)
@@ -718,7 +775,9 @@ PHASE_B_HOT_ROWS = int(os.environ.get("VDF_PHASE_B_HOT_ROWS", "1024"))
 
 
 @functools.cache
-def _build_phase_b(interpret: bool, sweep_calls: int):
+def _build_phase_b(
+    interpret: bool, sweep_calls: int, geom: Geometry = Geometry()
+):
     """Packing sweep over the (rare) hit launches + fused word extraction.
 
     One jit: scan the packing kernel over the hit launches, flatten every
@@ -726,11 +785,14 @@ def _build_phase_b(interpret: bool, sweep_calls: int):
     elements than bit-expansion — jnp.nonzero lowers to a sort), gather
     their values, and return [loc | val | total] in one small array so a
     phase-B batch costs a single dispatch and a single small fetch.
+
+    With the per-tile driver, ``geom`` is the BAND_TILES=1 repack
+    geometry: each "launch" is ONE hit tile, not a 16-tile stripe.
     """
     import jax
     import jax.numpy as jnp
 
-    chunk_fn = _build_chunk(interpret)
+    chunk_fn = _build_chunk(interpret, geom)
 
     @jax.jit
     def run(scalars_all, rows_pm, cols_pm, bounds, row_lo):
@@ -790,10 +852,12 @@ def _decode_phase_b(
     batch: list[tuple[int, tuple[int, ...]]],
     out_i: list[np.ndarray],
     out_j: list[np.ndarray],
+    geom: Geometry = Geometry(),
 ) -> bool:
     """Host decode of one phase-B result ([loc | val | total]): word
     locations + values -> global (row, col) pairs appended to out_i/out_j.
     Returns False on word-capacity overflow (caller falls back)."""
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
     cap = EXTRACT_WORD_CAP
     loc = arr[:cap]
     val = arr[cap : 2 * cap].astype(np.int64) & 0xFFFFFFFF
@@ -831,6 +895,7 @@ def _plan_launches(state) -> list[tuple[int, tuple[int, ...]]]:
     """Enumerate every launch descriptor (first row tile, per-row-tile
     first column tile), covering each row tile's whole duration band in
     BAND_TILES stripes."""
+    TILE_M, TILE_N, R_TILES, BAND_TILES = state.geom
     launches: list[tuple[int, tuple[int, ...]]] = []
     max_ct = state.max_ct
     clamp = int(max_ct - BAND_TILES)
@@ -872,6 +937,7 @@ def _gen_batches(state, launches, sweep_sizes):
     the remainder fills — padded launches run their full DMA+MXU work for
     nothing).  Windowed states additionally cut a batch when its
     row+band span would leave the resident +/-1 window."""
+    TILE_M, TILE_N, R_TILES, BAND_TILES = state.geom
     if not getattr(state, "windowed", False):
         b0 = 0
         while b0 < len(launches):
@@ -886,6 +952,7 @@ def _gen_batches(state, launches, sweep_sizes):
         align = state.window_align
         wmax = int(state.packed_dev.shape[0]) - w_rows
         max_batch = sweep_sizes[0]
+        rows_static = getattr(state, "rows_static", False)
         i = 0
         w_start: int | None = None
         while i < len(launches):
@@ -893,13 +960,20 @@ def _gen_batches(state, launches, sweep_sizes):
             for _attempt in range(2):
                 while i < len(launches) and len(batch) < max_batch:
                     rt0, cts = launches[i]
-                    end = max(
-                        (rt0 + R_TILES) * TILE_M,
-                        (max(cts) + BAND_TILES) * TILE_N,
-                    )
+                    if rows_static:
+                        # rows are resident (refs): only the launch's
+                        # COLUMN stripe must lie inside the window
+                        lo_edge = min(cts) * TILE_N
+                        end = (max(cts) + BAND_TILES) * TILE_N
+                    else:
+                        lo_edge = rt0 * TILE_M
+                        end = max(
+                            (rt0 + R_TILES) * TILE_M,
+                            (max(cts) + BAND_TILES) * TILE_N,
+                        )
                     if (
                         w_start is None
-                        or rt0 * TILE_M < w_start
+                        or lo_edge < w_start
                         or end - w_start > w_rows
                     ):
                         break
@@ -911,8 +985,11 @@ def _gen_batches(state, launches, sweep_sizes):
                 # launch's chunk (the window is REUSED across batches
                 # until then — repositioning per batch would force a
                 # drain + rebuild every few thousand rows)
-                rt0, _ = launches[i]
-                w_start = min((rt0 * TILE_M // align) * align, wmax)
+                rt0, cts0 = launches[i]
+                anchor = (
+                    min(cts0) * TILE_N if rows_static else rt0 * TILE_M
+                )
+                w_start = min((anchor // align) * align, wmax)
             assert batch, "single launch exceeds the window span"
             yield batch, w_start
 
@@ -927,7 +1004,12 @@ def _fill_scalars(
 ) -> None:
     """Launch scalars for one batch; padding rows keep tol=-1 (impossible
     threshold -> no matches)."""
-    w_tm = 0 if w_start is None else w_start // TILE_M
+    TILE_M, TILE_N, R_TILES, _BAND_TILES = state.geom
+    # rows_static states (windowed refs search) keep the whole rows
+    # operand resident — only the COLUMN window slides, so row-tile
+    # indices are absolute while column tiles are window-relative
+    rows_static = getattr(state, "rows_static", False)
+    w_tm = 0 if (w_start is None or rows_static) else w_start // TILE_M
     w_tn = 0 if w_start is None else w_start // TILE_N
     scalars_all[:, 0] = -1
     k = len(batch)
@@ -953,7 +1035,7 @@ def _fill_scalars(
 
 
 @functools.cache
-def _pack_matrices() -> tuple[np.ndarray, np.ndarray]:
+def _pack_matrices(TILE_M: int) -> tuple[np.ndarray, np.ndarray]:
     """[TILE_M//32, TILE_M] f32 transposed-bitpack operators: word r of a
     column collects rows r*32..r*32+31, split into exact 16-bit halves."""
     k = np.arange(TILE_M)
@@ -1013,10 +1095,11 @@ def _tile_bits_to_pairs(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _launch_metadata(
-    n: int, bounds: np.ndarray, n_row_chunks: int
+    n: int, bounds: np.ndarray, n_row_chunks: int, geom: Geometry
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per row tile: first col tile of the band, number of col tiles, and
     the window extrema driving the kernel's interior-tile fast path."""
+    TILE_M, TILE_N, R_TILES, _BAND_TILES = geom
     n_tiles = n_row_chunks * R_TILES
     first_ct = np.empty(n_tiles, dtype=np.int64)
     n_ct = np.empty(n_tiles, dtype=np.int64)
@@ -1061,9 +1144,12 @@ class PallasSearchState:
         n: int | None = None,
         packed_dev=None,
         defer_upload: bool = False,
+        geom: Geometry | None = None,
     ) -> None:
         import jax.numpy as jnp
 
+        self.geom = geom = geom if geom is not None else Geometry()
+        TILE_M, TILE_N, R_TILES, BAND_TILES = geom
         if n is None:
             assert packed is not None
             n = packed.shape[0]
@@ -1116,8 +1202,9 @@ class PallasSearchState:
 
         # per row tile: first col tile of the band, number of col tiles,
         # and the window extrema (the kernel's interior-tile fast path)
-        first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(n, bounds,
-                                                                 n_row_chunks)
+        first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(
+            n, bounds, n_row_chunks, geom
+        )
         self.n = n
         self.n_pad = n_pad
         self.n_row_chunks = n_row_chunks
@@ -1241,6 +1328,7 @@ class IncrementalDeviceLibrary:
         order: np.ndarray,
         bounds: np.ndarray,
         windowed: bool | None = None,
+        geom: Geometry | None = None,
     ) -> "PallasSearchState | WindowedPallasState":
         """Duration-sorted search state for the current library.
 
@@ -1252,6 +1340,8 @@ class IncrementalDeviceLibrary:
         """
         import jax.numpy as jnp
 
+        geom = geom if geom is not None else Geometry()
+        TILE_M, TILE_N, R_TILES, BAND_TILES = geom
         n = int(len(order))
         assert n <= self.n
         if windowed is None:
@@ -1266,7 +1356,7 @@ class IncrementalDeviceLibrary:
         _, gather_rows = _incremental_jits()
         packed_sorted = gather_rows(self._packed, jnp.asarray(idx))
         cls = WindowedPallasState if windowed else PallasSearchState
-        return cls(None, bounds, n=n, packed_dev=packed_sorted)
+        return cls(None, bounds, n=n, packed_dev=packed_sorted, geom=geom)
 
 
 @functools.cache
@@ -1353,9 +1443,12 @@ class WindowedPallasState:
         n: int | None = None,
         packed_dev=None,
         window_rows: int | None = None,
+        geom: Geometry | None = None,
     ) -> None:
         import jax.numpy as jnp
 
+        self.geom = geom = geom if geom is not None else Geometry()
+        TILE_M, TILE_N, R_TILES, BAND_TILES = geom
         assert R_TILES == 1, "windowed sweeps assume single-row-tile chunks"
         if n is None:
             assert packed is not None
@@ -1370,7 +1463,7 @@ class WindowedPallasState:
         self.packed_dev = packed_dev  # None: deferred upload, sized below
 
         first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(
-            n, bounds, n_row_chunks
+            n, bounds, n_row_chunks, geom
         )
 
         bounds_np = np.full(n_pad, -1, dtype=np.int32)
@@ -1533,6 +1626,8 @@ def banded_adjacency_pallas(
     bounds = np.asarray(bounds, dtype=np.int64)
     if state is None:
         state = PallasSearchState(packed, bounds)
+    geom = state.geom
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
 
     sweep_sizes = (8,) if interpret else tuple(
         sorted(set(SWEEP_SIZES), reverse=True)
@@ -1606,8 +1701,8 @@ def banded_adjacency_pallas(
                 break
             batch = hits_cur[: min(size, len(hits_cur))]
             del hits_cur[: len(batch)]
-            run = _build_phase_b(interpret, size)
-            scalars_all = np.zeros((size, N_SCAL), np.int32)
+            run = _build_phase_b(interpret, size, geom)
+            scalars_all = np.zeros((size, geom.n_scal), np.int32)
             _fill_scalars(
                 scalars_all, batch, state, tolerance_int, n, cur_w
             )
@@ -1634,7 +1729,7 @@ def banded_adjacency_pallas(
         width = 2 * EXTRACT_WORD_CAP + 1
         for bi, (_, size, batch) in enumerate(take):
             arr = flat[bi * width : (bi + 1) * width]
-            if not _decode_phase_b(arr, size, batch, out_i, out_j):
+            if not _decode_phase_b(arr, size, batch, out_i, out_j, geom):
                 # word capacity exceeded (rare): per-launch host fallback
                 _phase_b_fallback(
                     state, batch, tolerance_int, n, interpret, out_i,
@@ -1650,7 +1745,7 @@ def banded_adjacency_pallas(
             (s for s in sorted(sweep_sizes) if s >= len(batch)),
             sweep_sizes[0],
         )
-        counts_fn = _build_sweep_counts(interpret, sweep_calls)
+        counts_fn = _build_sweep_counts(interpret, sweep_calls, geom)
         if is_windowed:
             if w_start != state.w0:
                 # finish EVERYTHING against the previous window first:
@@ -1682,7 +1777,7 @@ def banded_adjacency_pallas(
             state.ensure_rows(need)
             ph["stream"] += time.perf_counter() - t0
             pm1 = colsA = state.pm1
-        scalars_all = np.zeros((sweep_calls, N_SCAL), np.int32)
+        scalars_all = np.zeros((sweep_calls, geom.n_scal), np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         counts = counts_fn(
@@ -1745,7 +1840,9 @@ def _phase_b_fallback(
     EXTRACT_WORD_CAP matching words."""
     import jax.numpy as jnp
 
-    fn = _build_chunk(interpret)
+    geom = state.geom
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
+    fn = _build_chunk(interpret, geom)
     is_windowed = getattr(state, "windowed", False)
     for rt0, cts in batch:
         w_start = None
@@ -1755,7 +1852,7 @@ def _phase_b_fallback(
             w_start = min((rt0 * TILE_M // align) * align, wmax)
             if w_start != state.w0:
                 state.move_window(w_start)
-        scal = np.zeros((1, N_SCAL), np.int32)
+        scal = np.zeros((1, geom.n_scal), np.int32)
         _fill_scalars(scal, [(rt0, cts)], state, tolerance_int, n, w_start)
         packed_t, _ = fn(
             jnp.asarray(scal[0]), state.pm1, state.pm1, state.bounds_dev,
@@ -1796,6 +1893,8 @@ def _banded_adjacency_onepass(
 
     if state is None:
         state = PallasSearchState(packed, bounds)
+    geom = state.geom
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
     pm1 = state.pm1
     bounds_dev = state.bounds_dev
 
@@ -1868,7 +1967,7 @@ def _banded_adjacency_onepass(
             (s for s in sorted(sweep_sizes) if s >= len(batch)),
             sweep_sizes[0],
         )
-        sweep_fn = _build_sweep(interpret, sweep_calls)
+        sweep_fn = _build_sweep(interpret, sweep_calls, geom)
         if is_windowed:
             if w_start != state.w0:
                 # in-flight batches read the previous window buffers
@@ -1894,7 +1993,7 @@ def _banded_adjacency_onepass(
             state.ensure_rows(need)
             ph["stream"] += time.perf_counter() - t0
             pm1 = state.pm1
-        scalars_all = np.zeros((sweep_calls, N_SCAL), dtype=np.int32)
+        scalars_all = np.zeros((sweep_calls, geom.n_scal), dtype=np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         packed_all, counts_all = sweep_fn(
@@ -1972,6 +2071,7 @@ def refs_adjacency_pallas(
     interpret: bool | None = None,
     cands_dev=None,
     n_cands: int | None = None,
+    geom: Geometry | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """References-vs-candidates adjacency on the Pallas sweep kernel.
 
@@ -1993,6 +2093,8 @@ def refs_adjacency_pallas(
     """
     import jax.numpy as jnp
 
+    geom = geom if geom is not None else Geometry()
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
     r = refs_packed.shape[0]
     n = int(n_cands) if cands_dev is not None else cands_packed.shape[0]
     if r == 0 or n == 0:
@@ -2024,13 +2126,15 @@ def refs_adjacency_pallas(
         )
         state = _RefsState(
             None, bounds_full, row_lo_full, n, ref0, r,
-            combined_dev=combined,
+            combined_dev=combined, geom=geom,
         )
     else:
         packed_pad = np.zeros((n_pad, cands_packed.shape[1]), np.uint32)
         packed_pad[:n] = cands_packed
         packed_pad[ref0 : ref0 + r] = refs_packed
-        state = _RefsState(packed_pad, bounds_full, row_lo_full, n, ref0, r)
+        state = _RefsState(
+            packed_pad, bounds_full, row_lo_full, n, ref0, r, geom=geom
+        )
     ii, jj = banded_adjacency_pallas(
         None, bounds_full, tolerance_int, interpret=interpret, state=state
     )
@@ -2086,9 +2190,12 @@ class _RefsState(PallasSearchState):
     row_lo_iota = False  # per-ref [0.95d, 1.05d] lower bounds are data
 
     def __init__(self, packed_pad, bounds_full, row_lo_full, n_cands,
-                 ref0, r, combined_dev=None) -> None:
+                 ref0, r, combined_dev=None,
+                 geom: Geometry | None = None) -> None:
         import jax.numpy as jnp
 
+        self.geom = geom = geom if geom is not None else Geometry()
+        TILE_M, TILE_N, R_TILES, BAND_TILES = geom
         # the floor-divisions below silently DROP trailing refs tiles if
         # the refs region start isn't chunk-aligned; the default geometry
         # guarantees it, non-default knobs must too

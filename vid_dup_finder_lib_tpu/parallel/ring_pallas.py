@@ -67,8 +67,9 @@ def _is_tpu() -> bool:
         return False
 
 
-def _align() -> int:
-    return int(np.lcm(hp.TILE_M * hp.R_TILES, hp.TILE_N))
+def _align(geom: "hp.Geometry | None" = None) -> int:
+    geom = geom if geom is not None else hp.Geometry()
+    return int(np.lcm(geom.tile_m * geom.r_tiles, geom.tile_n))
 
 
 @functools.cache
@@ -81,6 +82,7 @@ def _ring_jits(
     w_rows: int,
     cw_rows: int,
     ns: int,
+    geom: "hp.Geometry" = None,
 ):
     """Compiled SPMD ring primitives for one geometry.
 
@@ -104,9 +106,10 @@ def _ring_jits(
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    n_scal = hp.N_SCAL
-    counts_chunk = hp._build_chunk_counts(interpret)
-    pack_chunk = hp._build_chunk(interpret)
+    geom = geom if geom is not None else hp.Geometry()
+    n_scal = geom.n_scal
+    counts_chunk = hp._build_chunk_counts(interpret, geom)
+    pack_chunk = hp._build_chunk(interpret, geom)
 
     def unpack_rows(pk):
         """uint32[K, 32] -> PM_DTYPE[K, 1024] over {-1, +1}, chunked under
@@ -237,6 +240,7 @@ def _plan_ring_launches(
     bounds_c: np.ndarray,
     w_rows: int,
     n_win: int,
+    geom: "hp.Geometry | None" = None,
 ):
     """Host launch planner.
 
@@ -246,7 +250,8 @@ def _plan_ring_launches(
     intersections of the duration band are emitted — the block-level
     band skipping that keeps per-chip work O(band / n_chips).
     """
-    tile_m, tile_n, band = hp.TILE_M, hp.TILE_N, hp.BAND_TILES
+    geom = geom if geom is not None else hp.Geometry()
+    tile_m, tile_n, band = geom.tile_m, geom.tile_n, geom.band_tiles
     launches: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
     k_max = 0
     for d in range(n_dev):
@@ -295,12 +300,14 @@ def _fill_ring_scalars(
     max_row_lo: np.ndarray,
     w_rows: int,
     cw_rows: int,
+    geom: "hp.Geometry | None" = None,
 ) -> None:
     """Per-shard launch scalars (layout: ops/hamming_pallas._build_chunk).
     Row/col tile indices are RELATIVE to the windowed operands; absolute
     ids ride the wbase scalar; the ``n`` scalar is clamped to the parked
     block's end (the pad-column guard)."""
-    tile_m, tile_n = hp.TILE_M, hp.TILE_N
+    geom = geom if geom is not None else hp.Geometry()
+    tile_m, tile_n = geom.tile_m, geom.tile_n
     b0 = (d + s) * ns  # global first row of the parked block
     blk_end = min(n, b0 + ns)
     row_base_t = (d * ns + s_w) // tile_m
@@ -309,7 +316,7 @@ def _fill_ring_scalars(
         rel_rt = g_rt - row_base_t
         rel_ct = g_ct0 - col_base_t
         assert 0 <= rel_rt < w_rows // tile_m  # row tile inside its window
-        assert 0 <= rel_ct and (rel_ct + hp.BAND_TILES) * tile_n <= cw_rows, (
+        assert 0 <= rel_ct and (rel_ct + geom.band_tiles) * tile_n <= cw_rows, (
             rel_ct,
             cw_rows,
         )
@@ -332,11 +339,13 @@ def _host_launch_pairs(
     blk_end: int,
     out_i: list,
     out_j: list,
+    geom: "hp.Geometry | None" = None,
 ) -> None:
     """Exact host recompute of one launch (phase-B extraction-capacity
     overflow fallback; NumPy popcount over the launch's rectangle)."""
+    geom = geom if geom is not None else hp.Geometry()
     n = packed.shape[0]
-    tile_m, tile_n, band = hp.TILE_M, hp.TILE_N, hp.BAND_TILES
+    tile_m, tile_n, band = geom.tile_m, geom.tile_n, geom.band_tiles
     r0 = g_rt * tile_m
     r1 = min(r0 + tile_m, n)
     c0 = g_ct0 * tile_n
@@ -371,9 +380,11 @@ def _decode_ring_shard(
     pb_calls: int,
     out_i: list,
     out_j: list,
+    geom: "hp.Geometry | None" = None,
 ) -> bool:
     """One shard's phase-B result ([word locs | words | total]) -> global
     pairs.  Returns False on extraction-capacity overflow."""
+    geom = geom if geom is not None else hp.Geometry()
     cap = RING_EXTRACT_CAP
     loc = arr[:cap]
     val = arr[cap : 2 * cap].astype(np.int64) & 0xFFFFFFFF
@@ -387,10 +398,10 @@ def _decode_ring_shard(
         return True
     shape = (
         pb_calls,
-        hp.R_TILES,
-        hp.BAND_TILES,
-        hp.TILE_M // 32,
-        hp.TILE_N,
+        geom.r_tiles,
+        geom.band_tiles,
+        geom.tile_m // 32,
+        geom.tile_n,
     )
     k, i, j, r, c = np.unravel_index(loc, shape)
     keep = k < len(batch)
@@ -399,8 +410,8 @@ def _decode_ring_shard(
         return True
     g_rts = np.array([b[0] for b in batch], dtype=np.int64)
     g_cts = np.array([b[1] for b in batch], dtype=np.int64)
-    rbase = (g_rts[k] + i) * hp.TILE_M + r * 32
-    cbase = (g_cts[k] + j) * hp.TILE_N + c
+    rbase = (g_rts[k] + i) * geom.tile_m + r * 32
+    cbase = (g_cts[k] + j) * geom.tile_n + c
     bits = (val[:, None] >> np.arange(32, dtype=np.int64)[None, :]) & 1
     ww, bb = np.nonzero(bits)
     out_i.append(rbase[ww] + bb)
@@ -416,6 +427,7 @@ def banded_adjacency_ring(
     axis: str = "x",
     interpret: bool | None = None,
     window_rows: int | None = None,
+    geom: "hp.Geometry | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact banded adjacency over a device mesh (int8 Pallas ring).
 
@@ -434,7 +446,10 @@ def banded_adjacency_ring(
     n = packed.shape[0]
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    assert hp.R_TILES == 1, "the ring backend assumes single-row-tile chunks"
+    geom = geom if geom is not None else hp.Geometry()
+    assert geom.r_tiles == 1, (
+        "the ring backend assumes single-row-tile chunks"
+    )
     assert not hp.COLT, "the ring backend does not support VDF_COLT"
     if mesh is None:
         from .mesh import make_mesh
@@ -444,10 +459,10 @@ def banded_adjacency_ring(
         interpret = not _is_tpu()
 
     n_dev = int(mesh.devices.size)
-    align = _align()
+    align = _align(geom)
     ns = -(-(-(-n // n_dev)) // align) * align
     npad = ns * n_dev
-    tile_m, tile_n = hp.TILE_M, hp.TILE_N
+    tile_m, tile_n = geom.tile_m, geom.tile_n
 
     bounds = np.asarray(bounds, dtype=np.int64)
     bounds_c = np.minimum(bounds, n)
@@ -466,7 +481,7 @@ def banded_adjacency_ring(
             threshold = int(
                 os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
             )
-            window_rows = min(ns, max(_align(), threshold // 2))
+            window_rows = min(ns, max(align, threshold // 2))
     w_rows = min(max(-(-int(window_rows) // align) * align, align), ns)
     n_win = -(-ns // w_rows)
     w_starts = [min(w * w_rows, ns - w_rows) for w in range(n_win)]
@@ -474,7 +489,7 @@ def banded_adjacency_ring(
     # column-window span: rows' own window + the widest band + stripe pad
     spans = bounds_c - np.arange(n)
     max_span = int(spans.max()) if n else 0
-    pad_rows = (hp.BAND_TILES + 1) * tile_n
+    pad_rows = (geom.band_tiles + 1) * tile_n
     cw_rows = (
         min(w_rows + -(-max(max_span, 1) // align) * align, ns) + pad_rows
     )
@@ -493,7 +508,7 @@ def banded_adjacency_ring(
             max_row_lo[rt] = r1 - 1
 
     launches, k_max = _plan_ring_launches(
-        n, n_dev, ns, bounds_c, w_rows, n_win
+        n, n_dev, ns, bounds_c, w_rows, n_win, geom
     )
 
     # The windowed +/-1 operands materialize ONCE per (step, window)
@@ -504,7 +519,7 @@ def banded_adjacency_ring(
     pb_buckets = (4,) if interpret else (64, 16)
     operands_fn, _, _, rotate_fn, shard_fn = _ring_jits(
         axis, mesh, interpret, sweep_buckets[0], pb_buckets[0],
-        w_rows, cw_rows, ns,
+        w_rows, cw_rows, ns, geom,
     )
 
     def fns_for(size, pb=False):
@@ -512,7 +527,7 @@ def banded_adjacency_ring(
             axis, mesh, interpret,
             size if not pb else sweep_buckets[0],
             size if pb else pb_buckets[0],
-            w_rows, cw_rows, ns,
+            w_rows, cw_rows, ns, geom,
         )
         return got[2] if pb else got[1]
 
@@ -544,7 +559,7 @@ def banded_adjacency_ring(
     # scalar); the operand slot aliases bounds and is never read
     row_lo_dev = bounds_dev
 
-    n_scal = hp.N_SCAL
+    n_scal = geom.n_scal
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     col_pk = own_pk
@@ -579,7 +594,7 @@ def banded_adjacency_ring(
                     _fill_ring_scalars(
                         scal_np[d], batch, d, s, ns, n, s_w, c_off,
                         tolerance_int, min_bound, max_row_lo,
-                        w_rows, cw_rows,
+                        w_rows, cw_rows, geom,
                     )
                 counts = fns_for(size)(*ops, jnp.asarray(scal_np))
                 step_pending.append((w, batch_by_shard, size, counts))
@@ -597,7 +612,7 @@ def banded_adjacency_ring(
         # ---- drain counts; collect hit launches per (w, d)
         hits: dict[tuple[int, int], list[tuple[int, int]]] = {}
         for w, batch_by_shard, size, counts in step_pending:
-            cnp = np.asarray(counts).reshape(n_dev, size, hp.R_TILES)
+            cnp = np.asarray(counts).reshape(n_dev, size, geom.r_tiles)
             for d, k in zip(*np.nonzero(cnp.sum(axis=2) > 0)):
                 batch = batch_by_shard.get(int(d), [])
                 if int(k) < len(batch):
@@ -629,14 +644,14 @@ def banded_adjacency_ring(
                     _fill_ring_scalars(
                         scal_np[d], batch, d, s, ns, n, s_w, c_off,
                         tolerance_int, min_bound, max_row_lo,
-                        w_rows, cw_rows,
+                        w_rows, cw_rows, geom,
                     )
                 b0 += size
                 out = fns_for(size, pb=True)(*ops, jnp.asarray(scal_np))
                 arr = np.asarray(out)  # [n_dev, 2 * CAP + 1]
                 for d, batch in batch_by_shard.items():
                     if not _decode_ring_shard(
-                        arr[d], batch, size, out_i, out_j
+                        arr[d], batch, size, out_i, out_j, geom
                     ):
                         # extraction overflow: exact host recompute
                         blk_end = min(n, (d + s + 1) * ns)
@@ -644,6 +659,7 @@ def banded_adjacency_ring(
                             _host_launch_pairs(
                                 packed, bounds_c, tolerance_int,
                                 g_rt, g_ct0, blk_end, out_i, out_j,
+                                geom,
                             )
 
     if not out_i:
