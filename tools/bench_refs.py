@@ -3,9 +3,21 @@
 The reference loops refs one at a time against a binary-searched
 duration slice (video_dup_finder.rs:19-46) — scalar XOR+POPCNT per pair.
 Here large workloads ride the device as blocked int8 MXU matmuls over
-the per-ref [0.95d, 1.05d] windows (ops/hamming.windowed_adjacency_device).
+the per-ref [0.95d, 1.05d] windows.
 
-Usage: python tools/bench_refs.py    (VDF_REFS_R / VDF_REFS_N env knobs)
+Round-4 kernels (VDF_REFS_KERNEL):
+* ``windowed`` (default on TPU) — ``refs_adjacency_windowed``: refs rows
+  resident, sliding +/-1 COLUMN window over the device-resident packed
+  candidates; scales past +/-1 HBM capacity (16M+ cands) and bucketed
+  jit shapes kill the per-(r, n) first-call specialization.
+* ``combined`` — the round-3 [cands | refs] resident path
+  (``refs_adjacency_pallas``), kept as a comparison point.
+
+Knobs: VDF_REFS_R / VDF_REFS_N; VDF_REFS_DEVGEN=1 generates the
+candidate library ON DEVICE (no 128 B/hash h2d — default above 4M);
+VDF_REFS_WINDOW_ROWS sizes the column window.
+
+Usage: python tools/bench_refs.py
 """
 
 from __future__ import annotations
@@ -36,88 +48,142 @@ def main() -> None:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if on_tpu:
-        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
-            refs_adjacency_pallas as windowed,
-        )
-    else:
-        from vid_dup_finder_lib_tpu.ops.hamming import (
-            windowed_adjacency_device as windowed,
-        )
 
-    cands = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(np.uint32)
-    refs = rng.integers(0, 2**32, (r, 32), dtype=np.uint64).astype(np.uint32)
     cand_durs = np.sort(rng.integers(30, 7200, n))
     ref_durs = np.sort(rng.integers(30, 7200, r))
     lo = np.searchsorted(cand_durs, (ref_durs * 0.95).astype(np.int64), "left")
     hi = np.searchsorted(cand_durs, (ref_durs * 1.05).astype(np.int64), "right")
     comps = int(np.sum(hi - lo))
-    # plant matches: every 100th ref copies a candidate INSIDE its own
-    # duration window, so the recovered pair count validates the sweep
-    planted = 0
-    for k in range(0, r, 100):
-        if hi[k] > lo[k]:
-            refs[k] = cands[int(lo[k])]
-            planted += 1
+    refs = rng.integers(0, 2**32, (r, 32), dtype=np.uint64).astype(np.uint32)
 
-    tol = 350
-    resident = os.environ.get("VDF_REFS_RESIDENT", "1") == "1"
-    if resident and on_tpu:
-        # VERDICT r2 weak #6 closure: the candidate library sits
-        # device-resident (as after a cache-update hashing run, or via
-        # IncrementalDeviceLibrary); the timed search assembles the
-        # [cands | refs] matrix ON DEVICE and uploads only the refs
-        # (128 B each) — the 132 MB library re-upload is gone.
+    devgen = (
+        os.environ.get("VDF_REFS_DEVGEN", "1" if n > 4_000_000 else "0")
+        == "1"
+    )
+    upload_secs = None
+    cands = cands_dev = None
+    if devgen and on_tpu:
+        # device-born candidate library (no h2d; mirrors bench_scale)
         import jax.numpy as jnp
 
+        t0 = time.time()
+
+        @jax.jit
+        def gen(key):
+            p = jax.random.bits(key, (n, 32), dtype=jnp.uint32)
+            mask = jnp.concatenate(
+                [
+                    jnp.full((31,), 0xFFFFFFFF, jnp.uint32),
+                    jnp.full((1,), 0xFF, jnp.uint32),
+                ]
+            )
+            return p & mask[None, :]
+
+        cands_dev = gen(jax.random.key(0))
+        int(np.asarray(cands_dev[0, 0]))  # force completion (tunnel)
+        gen_secs = time.time() - t0
+    else:
+        gen_secs = None
+        cands = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+            np.uint32
+        )
+
+    # plant matches: every 100th ref copies a candidate INSIDE its own
+    # duration window, so recovered pairs validate the sweep exactly
+    planted: list[tuple[int, int]] = []
+    plant_ks = [k for k in range(0, r, 100) if hi[k] > lo[k]]
+    if cands_dev is not None:
+        import jax.numpy as jnp
+
+        idx = np.array([int(lo[k]) for k in plant_ks], np.int32)
+        rows = np.asarray(jnp.take(cands_dev, jnp.asarray(idx), axis=0))
+        for k, row in zip(plant_ks, rows):
+            refs[k] = row
+            planted.append((k, int(lo[k])))
+    else:
+        for k in plant_ks:
+            refs[k] = cands[int(lo[k])]
+            planted.append((k, int(lo[k])))
+
+    tol = 350
+    mode = os.environ.get(
+        "VDF_REFS_KERNEL", "windowed" if on_tpu else "xla"
+    )
+    if mode == "windowed":
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+            refs_adjacency_windowed,
+        )
+
+        wr = int(os.environ.get("VDF_REFS_WINDOW_ROWS", "0")) or None
+        if cands_dev is None and on_tpu:
+            import jax.numpy as jnp
+
+            t0 = time.time()
+            cands_dev = jnp.asarray(cands)
+            int(np.asarray(cands_dev[-1, -1]))
+            upload_secs = time.time() - t0
+
+        def run():
+            return refs_adjacency_windowed(
+                refs, lo, hi, tol,
+                cands_packed=cands if cands_dev is None else None,
+                cands_dev=cands_dev,
+                n_cands=n if cands_dev is not None else None,
+                window_rows=wr,
+            )
+
+    elif mode == "combined":
         from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
             refs_adjacency_pallas,
         )
 
-        t_up0 = time.time()
-        cands_dev = jnp.asarray(cands)
-        # force real completion with a d2h fetch: block_until_ready can
-        # return EARLY through the dev tunnel (CLAUDE.md), which let the
-        # 132 MB upload leak into the timed region
-        int(np.asarray(cands_dev[0, 0]))
-        int(np.asarray(cands_dev[-1, -1]))
-        upload_secs = time.time() - t_up0
-        # first full-shape call pays one-time jit specializations for
-        # this (r, n) shape; the steady state (repeat searches against
-        # the resident library — tolerance sweeps, incremental refs) is
-        # the second call
-        t0 = time.time()
-        refs_adjacency_pallas(
-            refs, None, lo, hi, tol, cands_dev=cands_dev, n_cands=n
-        )
-        first_secs = time.time() - t0
-        t0 = time.time()
-        pi, pj = refs_adjacency_pallas(
-            refs, None, lo, hi, tol, cands_dev=cands_dev, n_cands=n
-        )
-        dt = time.time() - t0
-        extra = {
-            "library_upload_secs_untimed": round(upload_secs, 2),
-            "first_call_secs_incl_compiles": round(first_secs, 2),
-        }
+        if cands_dev is None:
+            import jax.numpy as jnp
+
+            t0 = time.time()
+            cands_dev = jnp.asarray(cands)
+            int(np.asarray(cands_dev[-1, -1]))
+            upload_secs = time.time() - t0
+
+        def run():
+            return refs_adjacency_pallas(
+                refs, None, lo, hi, tol, cands_dev=cands_dev, n_cands=n
+            )
+
     else:
-        windowed(refs[:256], cands, lo[:256], hi[:256], tol)  # warm
-        t0 = time.time()
-        pi, pj = windowed(refs, cands, lo, hi, tol)
-        dt = time.time() - t0
-        extra = {}
+        from vid_dup_finder_lib_tpu.ops.hamming import (
+            windowed_adjacency_device,
+        )
+
+        def run():
+            return windowed_adjacency_device(refs, cands, lo, hi, tol)
+
+    # first call pays any one-time jit work (bucketed shapes for the
+    # windowed kernel); the steady state is the second call
+    t0 = time.time()
+    run()
+    first_secs = time.time() - t0
+    t0 = time.time()
+    pi, pj = run()
+    dt = time.time() - t0
+
+    pair_set = set(zip(pi.tolist(), pj.tolist()))
+    missing = sum(1 for p in planted if p not in pair_set)
+    assert missing == 0, f"{missing}/{len(planted)} planted pairs missed"
 
     print(
         json.dumps(
             {
-                "metric": f"refs_search_comps_per_sec@{r}x{n}"
-                + ("_resident" if resident and on_tpu else ""),
+                "metric": f"refs_search_comps_per_sec@{r}x{n}_{mode}",
                 "value": round(comps / dt, 1),
                 "unit": "comparisons/s",
                 "secs": round(dt, 2),
+                "first_call_secs_incl_compiles": round(first_secs, 2),
                 "pairs": int(len(pi)),
-                "planted": planted,
-                **extra,
+                "planted_ok": len(planted),
+                "gen_secs_untimed": gen_secs and round(gen_secs, 2),
+                "upload_secs_untimed": upload_secs
+                and round(upload_secs, 2),
             }
         )
     )

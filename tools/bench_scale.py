@@ -6,7 +6,7 @@ Runs the banded Pallas sweep at each N in VDF_SCALE_NS (default
 clusters, each N in its OWN subprocess (back-to-back multi-GB device
 allocations degrade through this tunnel's allocator — a fresh process
 per point keeps the measurements independent), and writes one JSON line
-per N to the output file (default BENCH_SCALE_r03.json at the repo
+per N to the output file (default BENCH_SCALE_r04.json at the repo
 root).  The windowed state engages automatically above
 VDF_WINDOWED_THRESHOLD, exactly as `search(backend="auto")` does.
 
@@ -32,10 +32,26 @@ from vid_dup_finder_lib_tpu.utils.jaxconfig import (  # noqa: E402
     enable_compilation_cache,
 )
 
-CLUSTERS = 200
-CLUSTER_SIZE = 3
+# VDF_SCALE_CLUSTERS=10000 VDF_SCALE_CLUSTER_SIZE=5 gives the dense-
+# duplicate hardware point (round-4 VERDICT item 7): ~1% duplicate rate
+# at 1M (10k clusters x C(5,2) = 100k planted pairs) so phase-B
+# extraction, the V2 hot-row path and the host greedy replay are
+# measured under load on silicon, not just interpret mode.
+CLUSTERS = int(os.environ.get("VDF_SCALE_CLUSTERS", "200"))
+CLUSTER_SIZE = int(os.environ.get("VDF_SCALE_CLUSTER_SIZE", "3"))
 CLUSTER_RADIUS = 60  # pairwise <= 120 << 350
 TOL = 350
+
+
+def _hbm_peak_gb() -> float | None:
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        return round(peak / 2**30, 2) if peak else None
+    except Exception:
+        return None
 
 
 def run_point(n: int) -> dict:
@@ -47,7 +63,10 @@ def run_point(n: int) -> dict:
 
     rng = np.random.default_rng(0)
     durations = np.sort(rng.integers(30, 7200, n))
-    starts = np.sort(rng.choice(n // 8 - 1, CLUSTERS, replace=False) * 8)
+    stride = max(8, CLUSTER_SIZE + 1)
+    starts = np.sort(
+        rng.choice(n // stride - 1, CLUSTERS, replace=False) * stride
+    )
     for s in starts:
         durations[s : s + CLUSTER_SIZE] = durations[s]
     bounds = np.searchsorted(
@@ -140,8 +159,10 @@ def run_point(n: int) -> dict:
             "window_rows": wr,
             "pairs": len(ii),
             "planted_clusters_ok": CLUSTERS,
+            "cluster_size": CLUSTER_SIZE,
             "gen_secs_untimed": round(gen_secs, 2),
             "tile": [hp.TILE_M, hp.TILE_N, hp.BAND_TILES],
+            "hbm_peak_gb": _hbm_peak_gb(),
         }
 
     windowed = n >= int(os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000"))
@@ -175,6 +196,10 @@ def run_point(n: int) -> dict:
     )
     assert missing == 0, f"{missing} planted pairs missed at n={n}"
 
+    phases = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in hp.LAST_SWEEP_PHASES.items()
+    }
     return {
         "metric": f"hamming_comps_per_sec@{n}",
         "value": round(comps / best, 1),
@@ -184,12 +209,15 @@ def run_point(n: int) -> dict:
         "windowed": windowed,
         "pairs": len(ii),
         "planted_clusters_ok": CLUSTERS,
+        "cluster_size": CLUSTER_SIZE,
         "gen_secs_untimed": round(gen_secs, 2),
         "state_secs_untimed": round(state_secs, 2),
         "tile": [hp.TILE_M, hp.TILE_N, hp.BAND_TILES],
         "pm_dtype": hp.PM_DTYPE,
         "colt": hp.COLT,
         "counts_interior": hp.COUNTS_INTERIOR,
+        "hbm_peak_gb": _hbm_peak_gb(),
+        "phases": phases,
     }
 
 
@@ -205,7 +233,7 @@ def main() -> None:
         ).split(",")
     ]
     out_path = os.environ.get(
-        "VDF_SCALE_OUT", os.path.join(_REPO, "BENCH_SCALE_r03.json")
+        "VDF_SCALE_OUT", os.path.join(_REPO, "BENCH_SCALE_r04.json")
     )
     results = []
     for n in ns:

@@ -1633,6 +1633,12 @@ def banded_adjacency_pallas(
         sorted(set(SWEEP_SIZES), reverse=True)
     )
     launches = _plan_launches(state)
+    rows_static = getattr(state, "rows_static", False)
+    if rows_static:
+        # windowed refs search: rows (refs) stay resident, the cands
+        # COLUMN window slides — column-major launch order makes the
+        # window advance monotonically over the cands axis
+        launches.sort(key=lambda b: b[1][0])
 
     dbg = os.environ.get("VDF_SWEEP_DEBUG") == "1"
     ph = {"dispatch": 0.0, "stream": 0.0, "drain": 0.0, "phase_b": 0.0,
@@ -1707,8 +1713,9 @@ def banded_adjacency_pallas(
                 scalars_all, batch, state, tolerance_int, n, cur_w
             )
             out = run(
-                jnp.asarray(scalars_all), state.pm1, state.pm1,
-                state.bounds_dev, state.row_lo_dev,
+                jnp.asarray(scalars_all),
+                state.rows_pm if rows_static else state.pm1,
+                state.pm1, state.bounds_dev, state.row_lo_dev,
             )
             pendingB.append((out, size, batch))
             ph["b_batches"] += 1
@@ -1738,6 +1745,7 @@ def banded_adjacency_pallas(
         ph["fetch_b"] += time.perf_counter() - t0
 
     pm1 = state.pm1
+    rowsA = state.rows_pm if rows_static else pm1
     colsA = state.pm1T if COLT else state.pm1
     bounds_dev = state.bounds_dev
     for batch, w_start in _gen_batches(state, launches, sweep_sizes):
@@ -1761,6 +1769,8 @@ def banded_adjacency_pallas(
                 state.move_window(w_start)
                 ph["stream"] += time.perf_counter() - t0
             pm1 = state.pm1
+            if not rows_static:
+                rowsA = pm1
             colsA = state.pm1T if COLT else state.pm1
             bounds_dev = state.bounds_dev
             cur_w = w_start
@@ -1776,12 +1786,12 @@ def banded_adjacency_pallas(
             t0 = time.perf_counter()
             state.ensure_rows(need)
             ph["stream"] += time.perf_counter() - t0
-            pm1 = colsA = state.pm1
+            pm1 = rowsA = colsA = state.pm1
         scalars_all = np.zeros((sweep_calls, geom.n_scal), np.int32)
         _fill_scalars(scalars_all, batch, state, tolerance_int, n, w_start)
         t0 = time.perf_counter()
         counts = counts_fn(
-            jnp.asarray(scalars_all), pm1, colsA, bounds_dev,
+            jnp.asarray(scalars_all), rowsA, colsA, bounds_dev,
             state.row_lo_dev,
         )
         ph["dispatch"] += time.perf_counter() - t0
@@ -1844,19 +1854,22 @@ def _phase_b_fallback(
     TILE_M, TILE_N, R_TILES, BAND_TILES = geom
     fn = _build_chunk(interpret, geom)
     is_windowed = getattr(state, "windowed", False)
+    rows_static = getattr(state, "rows_static", False)
     for rt0, cts in batch:
         w_start = None
         if is_windowed:
             align = state.window_align
             wmax = int(state.packed_dev.shape[0]) - state.window_rows
-            w_start = min((rt0 * TILE_M // align) * align, wmax)
+            anchor = min(cts) * TILE_N if rows_static else rt0 * TILE_M
+            w_start = min((anchor // align) * align, wmax)
             if w_start != state.w0:
                 state.move_window(w_start)
         scal = np.zeros((1, geom.n_scal), np.int32)
         _fill_scalars(scal, [(rt0, cts)], state, tolerance_int, n, w_start)
         packed_t, _ = fn(
-            jnp.asarray(scal[0]), state.pm1, state.pm1, state.bounds_dev,
-            state.row_lo_dev,
+            jnp.asarray(scal[0]),
+            state.rows_pm if rows_static else state.pm1,
+            state.pm1, state.bounds_dev, state.row_lo_dev,
         )
         tiles = np.asarray(packed_t)
         for i in range(R_TILES):
@@ -2265,3 +2278,226 @@ class _RefsState(PallasSearchState):
         self.min_bound = min_bound
         self.max_row_lo = max_row_lo
         self.max_ct = (n_pad - TILE_N) // TILE_N
+
+
+@functools.cache
+def _refs_cols_window_jit(w_rows: int):
+    """uint32[*, 32] packed cands -> one +/-1 COLUMN window
+    [w_rows, 1024] starting at row ``at`` (chunked under lax.scan like
+    ``_window_build_jit``; no bounds slice — refs-row metadata is static
+    and lives in refs space, not cands space)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(packed_dev, at):
+        pk = jax.lax.dynamic_slice(packed_dev, (at, 0), (w_rows, 32))
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        chunk = math.gcd(w_rows, 1024)
+
+        def body(_, pkc):
+            bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
+            pm_c = (
+                bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2
+                - 1
+            )
+            if PM_DTYPE != "int8":
+                pm_c = pm_c.astype(jnp.bfloat16)
+            return None, pm_c
+
+        _, pm = jax.lax.scan(body, None, pk.reshape(-1, chunk, 32))
+        return pm.reshape(w_rows, HASH_BITS_PADDED)
+
+    return f
+
+
+class WindowedRefsState:
+    """Windowed references-vs-candidates search state (round-3 VERDICT
+    missing #4 / next-round item 3): the refs ROWS (+ their per-row
+    [0.95d, 1.05d) metadata, ``video_dup_finder.rs:19-46``) stay fully
+    resident — they are tiny — while the CANDIDATE axis follows the
+    ``WindowedPallasState`` recipe: the packed library (128 B/hash) is
+    fully device-resident and the 1 KB/hash +/-1 expansion exists only
+    for a sliding COLUMN window, so refs-vs-16M-candidate searches never
+    materialize a 16 GB operand.
+
+    Shape bucketing (round-3 VERDICT weak #5): the refs row pad rounds
+    up to a power-of-two number of row tiles and the column window is a
+    power-of-two number of column tiles (capped by VDF_REFS_WINDOW_ROWS),
+    so the expensive sweep jits — whose signatures see only
+    [r_pad, 1024] rows, [window_rows, 1024] cols and the launch-scalar
+    batch — repeat across nearby (r, n) shapes and hit the persistent
+    compile cache instead of paying ~23 s of first-call specialization
+    per novel pair.
+
+    Plugs into ``banded_adjacency_pallas``'s windowed driver via
+    ``rows_static = True``: row-tile indices stay absolute (refs space),
+    only column tiles are window-relative, and the driver orders
+    launches column-major so the window slides monotonically.
+    """
+
+    windowed = True
+    row_lo_iota = False  # per-ref lower bounds are data
+    rows_static = True
+    uploaded_rows = None  # the streamed rows-build path does not apply
+
+    def __init__(
+        self,
+        refs_packed: np.ndarray,
+        lo: np.ndarray,
+        hi: np.ndarray,
+        n_cands: int,
+        cands_packed: np.ndarray | None = None,
+        cands_dev=None,
+        window_rows: int | None = None,
+        geom: Geometry | None = None,
+    ) -> None:
+        import jax.numpy as jnp
+
+        self.geom = geom = geom if geom is not None else Geometry()
+        TILE_M, TILE_N, R_TILES, BAND_TILES = geom
+        assert R_TILES == 1, "refs search assumes single-row-tile chunks"
+        assert not COLT, "windowed refs states do not support VDF_COLT"
+        r = refs_packed.shape[0]
+        n = int(n_cands)
+        lo = np.asarray(lo, dtype=np.int64)
+        hi = np.asarray(hi, dtype=np.int64)
+
+        # refs rows: power-of-two row-tile bucket
+        r_tiles = max(1, -(-r // TILE_M))
+        r_tiles = 1 << (r_tiles - 1).bit_length()
+        r_pad = r_tiles * TILE_M
+        refs_pad = np.zeros((r_pad, 32), np.uint32)
+        refs_pad[:r] = refs_packed
+        self.rows_pm = unpack_pm1_device(jnp.asarray(refs_pad))
+        bounds_np = np.full((r_pad, 1), -1, dtype=np.int32)
+        bounds_np[:r, 0] = np.minimum(hi, n)
+        row_lo_np = np.full((r_pad, 1), _ROW_LO_SENTINEL, dtype=np.int32)
+        row_lo_np[:r, 0] = np.maximum(lo, 0) - 1
+        self.bounds_dev = jnp.asarray(bounds_np)
+        self.row_lo_dev = jnp.asarray(row_lo_np)
+
+        # per-refs-tile launch metadata over the cands axis; partial
+        # tiles keep the sentinel max_row_lo so the kernel's interior
+        # fast path never skips masking across pad rows
+        first_ct = np.zeros(r_tiles, dtype=np.int64)
+        n_ct = np.zeros(r_tiles, dtype=np.int64)
+        min_bound = np.zeros(r_tiles, dtype=np.int64)
+        max_row_lo = np.full(r_tiles, _ROW_LO_SENTINEL, dtype=np.int64)
+        for rt in range(r_tiles):
+            r0 = rt * TILE_M
+            r1 = min(r0 + TILE_M, r)
+            if r0 >= r:
+                continue
+            ct0 = int(max(int(lo[r0:r1].min()), 0)) // TILE_N
+            c_end = int(min(int(hi[r0:r1].max()), n))
+            first_ct[rt] = ct0
+            n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
+            min_bound[rt] = int(min(int(hi[r0:r1].min()), n))
+            if r1 == r0 + TILE_M:
+                max_row_lo[rt] = int(lo[r0:r1].max()) - 1
+
+        # candidate axis: packed resident, +/-1 only per column window
+        n_cpad = (
+            -(-max(n, 1) // TILE_N) * TILE_N + (BAND_TILES + 1) * TILE_N
+        )
+        self.window_align = align = TILE_N
+        assert align % 128 == 0
+        cap_rows = (
+            int(window_rows)
+            if window_rows
+            else int(os.environ.get("VDF_REFS_WINDOW_ROWS", str(1 << 21)))
+        )
+        cap_tiles = max(-(-cap_rows // TILE_N), BAND_TILES + 1)
+        need_tiles = -(-n_cpad // TILE_N)
+        w_tiles = 1 << (min(need_tiles, cap_tiles) - 1).bit_length()
+        self.window_rows = w_rows = w_tiles * TILE_N
+        need = -(-n_cpad // align) * align + w_rows
+
+        if cands_dev is not None:
+            # device-born candidates: zero-pad on device, no h2d
+            pad = jnp.zeros((need - n, 32), jnp.uint32)
+            self.packed_dev = jnp.concatenate([cands_dev[:n], pad])
+            self._host_packed: np.ndarray | None = None
+            self._uploaded_packed: int | None = None
+        else:
+            # host-sourced: deferred chunked h2d, overlapped with the
+            # sweep of earlier windows (same scheme as
+            # WindowedPallasState._ensure_packed)
+            self._chunk = min(
+                int(os.environ.get("VDF_STREAM_CHUNK_ROWS", "131072")),
+                -(-need // 256) * 256,
+            )
+            total = -(-need // self._chunk) * self._chunk
+            host_pad = np.zeros((total, 32), dtype=np.uint32)
+            host_pad[:n] = cands_packed[:n]
+            self._host_packed = host_pad
+            self._uploaded_packed = 0
+            self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
+
+        self.n = n
+        self.n_pad = n_cpad
+        self.n_row_chunks = r_tiles
+        self.first_ct = first_ct
+        self.n_ct = n_ct
+        self.min_bound = min_bound
+        self.max_row_lo = max_row_lo
+        self.max_ct = (n_cpad - TILE_N) // TILE_N
+        self.w0: int | None = None
+        self.pm1 = None
+        self.pm1T = None
+        self.rebuilds = 0
+
+    # deferred packed upload: identical contract to WindowedPallasState
+    _ensure_packed = WindowedPallasState._ensure_packed
+
+    def move_window(self, w_start: int) -> None:
+        """Slide the resident +/-1 COLUMN window to start at candidate
+        row ``w_start`` (refs rows/metadata never move)."""
+        import jax.numpy as jnp
+
+        assert w_start % self.window_align == 0
+        self._ensure_packed(w_start + self.window_rows)
+        self.pm1 = None  # release before rebuilding
+        self.pm1 = _refs_cols_window_jit(self.window_rows)(
+            self.packed_dev, jnp.int32(w_start)
+        )
+        self.w0 = w_start
+        self.rebuilds += 1
+
+
+def refs_adjacency_windowed(
+    refs_packed: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    tolerance_int: int,
+    cands_packed: np.ndarray | None = None,
+    cands_dev=None,
+    n_cands: int | None = None,
+    interpret: bool | None = None,
+    window_rows: int | None = None,
+    geom: Geometry | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """References-vs-candidates adjacency with a sliding candidate
+    window: all pairs (i, j), i a refs row, lo[i] <= j < hi[i], hamming
+    <= tolerance_int, in lexicographic order — output-identical to
+    ``refs_adjacency_pallas`` but scaling to candidate libraries beyond
+    +/-1 HBM capacity (and with bucketed jit shapes; see
+    ``WindowedRefsState``).  ``cands_dev`` + ``n_cands``: device-resident
+    packed candidates (refs-only h2d); else ``cands_packed`` rides a
+    deferred chunked upload."""
+    r = refs_packed.shape[0]
+    n = int(n_cands) if cands_dev is not None else cands_packed.shape[0]
+    if r == 0 or n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    state = WindowedRefsState(
+        refs_packed, lo, hi, n,
+        cands_packed=cands_packed, cands_dev=cands_dev,
+        window_rows=window_rows, geom=geom,
+    )
+    return banded_adjacency_pallas(
+        None, np.zeros(0, np.int64), tolerance_int,
+        interpret=interpret, state=state,
+    )

@@ -301,6 +301,35 @@ class Search:
             hi = np.array([w[1] for w in windows_all], np.int64)
             cands_mat = None if resident else hashes_to_matrix(self.entries)
             n_entries = len(self.entries)
+            # windowed refs path (round-3 VERDICT item 3): candidate
+            # libraries beyond the resident +/-1 budget ride a sliding
+            # column window over the device-resident packed matrix —
+            # no chunk loop, no per-(r, n) jit specialization (shapes
+            # are bucketed; see ops.hamming_pallas.WindowedRefsState)
+            win_threshold = int(
+                os.environ.get("VDF_REFS_WINDOWED_THRESHOLD", "2000000")
+            )
+            use_windowed = (resident or _on_tpu()) and (
+                n_entries >= win_threshold
+                or os.environ.get("VDF_REFS_WINDOWED") == "1"
+            )
+            if use_windowed and os.environ.get("VDF_REFS_WINDOWED") != "0":
+                from .ops.hamming_pallas import refs_adjacency_windowed
+
+                pi, pj = refs_adjacency_windowed(
+                    ref_mat, lo, hi, tol,
+                    cands_packed=cands_mat,
+                    cands_dev=self._cands_dev if resident else None,
+                    n_cands=n_entries,
+                )
+                results = [[] for _ in refs]
+                for i, j in zip(pi.tolist(), pj.tolist()):
+                    jj = int(j)
+                    if not self.matched[jj]:
+                        results[order[int(i)]].append(
+                            self.entries[jj].src_path
+                        )
+                return results
             # the refs kernel holds a fully-resident +/-1 candidate
             # matrix (1 KB/hash): chunk the candidate axis so huge
             # libraries never exceed HBM.  Each ref's window is clipped
