@@ -95,3 +95,41 @@ def test_phase_b_v2_hot_row_overflow_falls_back(monkeypatch):
         hp._build_phase_b.cache_clear()
     assert np.array_equal(hi, ti)
     assert np.array_equal(hj, tj)
+
+
+def test_per_tile_phase_b_matches_host(monkeypatch):
+    """VDF_PHASE_B_PER_TILE=1: per-(row tile, col tile) counts + a
+    BAND_TILES=1 phase-B repack geometry must stay pair-exact — on both
+    a sparse library and a dense duplicate cluster (where the knob's
+    narrower re-runs actually matter)."""
+    from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+
+    monkeypatch.setenv("VDF_PHASE_B_PER_TILE", "1")
+
+    rng = np.random.default_rng(55)
+    packed, bounds = _random_library(900, rng)
+    hi, hj = _host(packed, bounds, 350)
+    assert len(hi) > 0
+    ti, tj = hp.banded_adjacency_pallas(packed, bounds, 350)
+    assert np.array_equal(hi, ti)
+    assert np.array_equal(hj, tj)
+
+    # dense cluster: 80 near-identical rows in a full band
+    n = 300
+    seed = rng.integers(0, 2**32, 32, dtype=np.uint64).astype(np.uint32)
+    seed[-1] &= np.uint32(0xFF)
+    dense = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    dense[:, -1] &= np.uint32(0xFF)
+    for k in range(100, 180):
+        h = seed.copy()
+        for b in rng.choice(1000, 40, replace=False):
+            h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        dense[k] = h
+    dbounds = np.full(n, n, dtype=np.int64)
+    hi2, hj2 = _host(dense, dbounds, 350)
+    assert len(hi2) > 3000
+    ti2, tj2 = hp.banded_adjacency_pallas(dense, dbounds, 350)
+    assert np.array_equal(hi2, ti2)
+    assert np.array_equal(hj2, tj2)

@@ -1657,6 +1657,16 @@ def banded_adjacency_pallas(
     drain_group = int(os.environ.get("VDF_COUNTS_DRAIN_GROUP", "8"))
     fetch_b_max = int(os.environ.get("VDF_FETCH_B_MAX", "64"))
     pb_sizes = (8,) if interpret else (PHASE_B_CALLS, 16)
+    # VDF_PHASE_B_PER_TILE=1: phase A counts per (row tile, column tile)
+    # instead of per launch stripe, and phase B re-runs ONLY the hit
+    # tiles under a BAND_TILES=1 geometry — BAND_TILES x less repack
+    # work per hit at BAND_TILES x the counts-drain volume (a dense-
+    # duplicate-regime knob; default off until measured faster)
+    per_tile_b = os.environ.get("VDF_PHASE_B_PER_TILE") == "1"
+    assert not (per_tile_b and R_TILES != 1), (
+        "per-tile phase B assumes single-row-tile chunks"
+    )
+    geom_b = geom._replace(band_tiles=1) if per_tile_b else geom
 
     pendingA: list[tuple[list, object]] = []  # (batch, counts handle)
     hits_cur: list[tuple[int, tuple[int, ...]]] = []  # current window
@@ -1681,6 +1691,15 @@ def banded_adjacency_pallas(
             size = int(np.prod(counts.shape))
             cnp = flat[off : off + size].reshape(counts.shape)
             off += size
+            if per_tile_b:
+                # [calls, BAND_TILES] per-tile counts: each hit TILE
+                # becomes its own 1-column-tile phase-B launch
+                for k2, t in zip(*np.nonzero(cnp > 0)):
+                    if int(k2) < len(batch):
+                        rt0, cts = batch[int(k2)]
+                        hits_cur.append((rt0, (int(cts[0]) + int(t),)))
+                        ph["hits"] += 1
+                continue
             for k2 in np.nonzero(cnp.sum(axis=1) > 0)[0]:
                 if int(k2) < len(batch):
                     hits_cur.append(batch[int(k2)])
@@ -1707,7 +1726,7 @@ def banded_adjacency_pallas(
                 break
             batch = hits_cur[: min(size, len(hits_cur))]
             del hits_cur[: len(batch)]
-            run = _build_phase_b(interpret, size, geom)
+            run = _build_phase_b(interpret, size, geom_b)
             scalars_all = np.zeros((size, geom.n_scal), np.int32)
             _fill_scalars(
                 scalars_all, batch, state, tolerance_int, n, cur_w
@@ -1736,11 +1755,13 @@ def banded_adjacency_pallas(
         width = 2 * EXTRACT_WORD_CAP + 1
         for bi, (_, size, batch) in enumerate(take):
             arr = flat[bi * width : (bi + 1) * width]
-            if not _decode_phase_b(arr, size, batch, out_i, out_j, geom):
+            if not _decode_phase_b(
+                arr, size, batch, out_i, out_j, geom_b
+            ):
                 # word capacity exceeded (rare): per-launch host fallback
                 _phase_b_fallback(
                     state, batch, tolerance_int, n, interpret, out_i,
-                    out_j,
+                    out_j, geom_b,
                 )
         ph["fetch_b"] += time.perf_counter() - t0
 
@@ -1753,7 +1774,9 @@ def banded_adjacency_pallas(
             (s for s in sorted(sweep_sizes) if s >= len(batch)),
             sweep_sizes[0],
         )
-        counts_fn = _build_sweep_counts(interpret, sweep_calls, geom)
+        counts_fn = _build_sweep_counts(
+            interpret, sweep_calls, geom, per_tile_b
+        )
         if is_windowed:
             if w_start != state.w0:
                 # finish EVERYTHING against the previous window first:
@@ -1843,14 +1866,16 @@ def _phase_b_fallback(
     interpret: bool,
     out_i: list[np.ndarray],
     out_j: list[np.ndarray],
+    geom_b: "Geometry | None" = None,
 ) -> None:
     """Word-capacity overflow path: re-run each launch singly with the
     packing kernel, fetch its packed tiles wholesale, and bit-extract on
     host.  Only reached when one phase-B batch holds more than
-    EXTRACT_WORD_CAP matching words."""
+    EXTRACT_WORD_CAP matching words.  ``geom_b``: the phase-B geometry
+    (BAND_TILES=1 under the per-tile knob)."""
     import jax.numpy as jnp
 
-    geom = state.geom
+    geom = geom_b if geom_b is not None else state.geom
     TILE_M, TILE_N, R_TILES, BAND_TILES = geom
     fn = _build_chunk(interpret, geom)
     is_windowed = getattr(state, "windowed", False)
