@@ -163,6 +163,13 @@ def run_point(n: int) -> dict:
             "gen_secs_untimed": round(gen_secs, 2),
             "tile": [hp.TILE_M, hp.TILE_N, hp.BAND_TILES],
             "hbm_peak_gb": _hbm_peak_gb(),
+            "phases": {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in __import__(
+                    "vid_dup_finder_lib_tpu.parallel.ring_pallas",
+                    fromlist=["LAST_RING_PHASES"],
+                ).LAST_RING_PHASES.items()
+            },
         }
 
     windowed = n >= int(os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000"))

@@ -47,6 +47,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+import time
 
 import numpy as np
 
@@ -56,6 +57,10 @@ from ..ops import hamming_pallas as hp
 # sized-nonzero capacity of one phase-B batch PER SHARD (matching words;
 # overflow falls back to an exact host recompute of that batch)
 RING_EXTRACT_CAP = int(os.environ.get("VDF_RING_EXTRACT_CAP", "8192"))
+
+# phase breakdown of the most recent banded_adjacency_ring call
+# (seconds + counters) — bench_scale.py records it with ring points
+LAST_RING_PHASES: dict = {}
 
 
 def _is_tpu() -> bool:
@@ -603,22 +608,30 @@ def banded_adjacency_ring(
     # (step, window) operand REBUILD for phase B was a visible cost of
     # the degenerate 1-chip ring)
     cache_ops = n_win == 1
+    ph = {"operands": 0.0, "dispatch": 0.0, "drain": 0.0, "phase_b": 0.0,
+          "rotate": 0.0, "op_builds": 0, "op_reuses": 0, "batches": 0,
+          "steps": 0}
 
     def build_ops(s, w, col_blk):
+        t0 = time.perf_counter()
+        ph["op_builds"] += 1
         s_w = w_starts[w]
         c_off = s_w if s == 0 else 0
-        if s == 0:
-            # step 0 parks the shard's own block: the row window is a
-            # prefix of the column window — one unpack serves both
-            cols_pm, b, r = operands0_fn(
+        try:
+            if s == 0:
+                # step 0 parks the shard's own block: the row window is
+                # a prefix of the column window — one unpack serves both
+                cols_pm, b, r = operands0_fn(
+                    own_pk, col_blk, bounds_dev, row_lo_dev,
+                    jnp.int32(s_w), jnp.int32(c_off),
+                )
+                return (cols_pm, cols_pm, b, r)
+            return operands_fn(
                 own_pk, col_blk, bounds_dev, row_lo_dev,
                 jnp.int32(s_w), jnp.int32(c_off),
             )
-            return (cols_pm, cols_pm, b, r)
-        return operands_fn(
-            own_pk, col_blk, bounds_dev, row_lo_dev,
-            jnp.int32(s_w), jnp.int32(c_off),
-        )
+        finally:
+            ph["operands"] += time.perf_counter() - t0
 
     for s in range(k_max + 1):
         # ---- phase A: counts over every launch of this ring step
@@ -652,7 +665,10 @@ def banded_adjacency_ring(
                         tolerance_int, min_bound, max_row_lo,
                         w_rows, cw_rows, geom,
                     )
+                t0 = time.perf_counter()
                 counts = fns_for(size)(*ops, jnp.asarray(scal_np))
+                ph["dispatch"] += time.perf_counter() - t0
+                ph["batches"] += 1
                 step_pending.append((w, batch_by_shard, size, counts))
                 b0 += size
             ops = None  # free this window's operands (counts hold them
@@ -663,9 +679,13 @@ def banded_adjacency_ring(
         # old col_pk handle)
         col_pk_s = col_pk
         if s < k_max:
+            t0 = time.perf_counter()
             col_pk = rotate_fn(col_pk)
+            ph["rotate"] += time.perf_counter() - t0
+        ph["steps"] += 1
 
         # ---- drain counts; collect hit launches per (w, d)
+        t0 = time.perf_counter()
         hits: dict[tuple[int, int], list[tuple[int, int]]] = {}
         for w, batch_by_shard, size, counts in step_pending:
             cnp = np.asarray(counts).reshape(n_dev, size, geom.r_tiles)
@@ -673,8 +693,10 @@ def banded_adjacency_ring(
                 batch = batch_by_shard.get(int(d), [])
                 if int(k) < len(batch):
                     hits.setdefault((w, int(d)), []).append(batch[int(k)])
+        ph["drain"] += time.perf_counter() - t0
 
         # ---- phase B: re-run hit launches with the packing kernel
+        t_b = time.perf_counter()
         by_window: dict[int, dict[int, list]] = {}
         for (w, d), lst in hits.items():
             by_window.setdefault(w, {})[d] = lst
@@ -684,7 +706,9 @@ def banded_adjacency_ring(
             # phase A's operands for this window are identical (col_pk_s
             # is the pre-rotation handle) — reuse when retained
             ops = ops_cache.get(w)
-            if ops is None:
+            if ops is not None:
+                ph["op_reuses"] += 1
+            else:
                 ops = build_ops(s, w, col_pk_s)
             total = max(len(v) for v in shard_hits.values())
             b0 = 0
@@ -718,7 +742,22 @@ def banded_adjacency_ring(
                                 g_rt, g_ct0, blk_end, out_i, out_j,
                                 geom,
                             )
+        ph["phase_b"] += time.perf_counter() - t_b
         ops_cache.clear()  # release this step's retained operands
+
+    global LAST_RING_PHASES
+    LAST_RING_PHASES = dict(ph)
+    if os.environ.get("VDF_RING_DEBUG") == "1":
+        import sys
+
+        print(
+            "# ring phases: "
+            + " ".join(
+                f"{k}={v:.3f}s" if isinstance(v, float) else f"{k}={v}"
+                for k, v in ph.items()
+            ),
+            file=sys.stderr,
+        )
 
     if not out_i:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)

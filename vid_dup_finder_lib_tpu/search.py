@@ -314,14 +314,39 @@ class Search:
                 or os.environ.get("VDF_REFS_WINDOWED") == "1"
             )
             if use_windowed and os.environ.get("VDF_REFS_WINDOWED") != "0":
-                from .ops.hamming_pallas import refs_adjacency_windowed
+                # multi-chip: shard the duration-sorted refs over the
+                # mesh (packed candidates replicated, per-shard sliding
+                # column windows, zero hot-loop collectives) — auto on
+                # multi-chip TPU, forceable via VDF_REFS_SHARDED=1
+                sharded = os.environ.get("VDF_REFS_SHARDED")
+                if sharded is None and _on_tpu():
+                    import jax
 
-                pi, pj = refs_adjacency_windowed(
-                    ref_mat, lo, hi, tol,
-                    cands_packed=cands_mat,
-                    cands_dev=self._cands_dev if resident else None,
-                    n_cands=n_entries,
-                )
+                    sharded = (
+                        "1" if len(jax.devices()) > 1 else None
+                    )
+                if sharded == "1":
+                    from .parallel.refs_sharded import (
+                        refs_adjacency_sharded,
+                    )
+
+                    pi, pj = refs_adjacency_sharded(
+                        ref_mat, lo, hi, tol,
+                        cands_packed=cands_mat,
+                        cands_dev=self._cands_dev if resident else None,
+                        n_cands=n_entries,
+                    )
+                else:
+                    from .ops.hamming_pallas import (
+                        refs_adjacency_windowed,
+                    )
+
+                    pi, pj = refs_adjacency_windowed(
+                        ref_mat, lo, hi, tol,
+                        cands_packed=cands_mat,
+                        cands_dev=self._cands_dev if resident else None,
+                        n_cands=n_entries,
+                    )
                 results = [[] for _ in refs]
                 for i, j in zip(pi.tolist(), pj.tolist()):
                     jj = int(j)
