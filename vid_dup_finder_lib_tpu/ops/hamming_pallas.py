@@ -625,9 +625,28 @@ def _build_chunk_counts(
             return jnp.sum(adj.astype(jnp.int32))
 
         if per_tile:
+            n_out = R_TILES * BAND_TILES
+
             def store(cnt):
-                # per-(i, j) output block: no cross-j accumulation
-                out_ref[...] = cnt + jnp.zeros((1, 128), jnp.int32)
+                # whole-block one-hot accumulate: Mosaic only allows a
+                # sub-(8, 128) output block when it EQUALS the array
+                # dims, so each step writes the full [n_out, 128] block
+                # with its count in row i * BAND_TILES + j
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0)
+                    == i * BAND_TILES + j
+                )
+                contrib = jnp.where(
+                    onehot, cnt, 0
+                ) + jnp.zeros((n_out, 128), jnp.int32)
+
+                @pl.when((i == 0) & (j == 0))
+                def _init():
+                    out_ref[...] = contrib
+
+                @pl.when(jnp.logical_not((i == 0) & (j == 0)))
+                def _acc():
+                    out_ref[...] = out_ref[...] + contrib
         else:
             def store(cnt):
                 @pl.when(j == 0)
@@ -704,10 +723,14 @@ def _build_chunk_counts(
             ),
         ],
         out_specs=pl.BlockSpec(
+            (R_TILES * BAND_TILES, 128),
+            lambda i, j, s: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if per_tile
+        else pl.BlockSpec(
             (1, 128),
-            (lambda i, j, s: (i * BAND_TILES + j, 0))
-            if per_tile
-            else (lambda i, j, s: (i, 0)),
+            lambda i, j, s: (i, 0),
             memory_space=pltpu.VMEM,
         ),
     )
