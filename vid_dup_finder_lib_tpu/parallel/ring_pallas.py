@@ -57,6 +57,7 @@ from ..ops import hamming_pallas as hp
 # sized-nonzero capacity of one phase-B batch PER SHARD (matching words;
 # overflow falls back to an exact host recompute of that batch)
 RING_EXTRACT_CAP = int(os.environ.get("VDF_RING_EXTRACT_CAP", "8192"))
+RING_HOT_ROWS = int(os.environ.get("VDF_RING_HOT_ROWS", "1024"))
 
 # phase breakdown of the most recent banded_adjacency_ring call
 # (seconds + counters) — bench_scale.py records it with ring points
@@ -195,12 +196,42 @@ def _ring_jits(
 
         _, packed_all = jax.lax.scan(body, None, scal)
         flat = packed_all.reshape(-1)
-        nz = flat != 0
+        # two-level extraction (the single-chip PHASE_B_V2 design,
+        # hamming_pallas._build_phase_b): jnp.nonzero lowers to a full
+        # sort, and sorting a 64-launch batch's ~33M packed words cost
+        # ~1 s/step on the 1-chip ring.  Reduce words to 1024-word-row
+        # counts, sized-nonzero the tiny row list, gather the hot rows,
+        # and word-extract only those — with hot-row overflow inflating
+        # ``total`` past the cap so the decoder takes the exact host
+        # fallback.
+        pad = (-flat.size) % 1024  # static; small interpret geometries
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad,), flat.dtype)]
+            )
+        rows = flat.reshape(-1, 1024)
+        rownz = jnp.sum((rows != 0).astype(jnp.int32), axis=1)
+        hot = jnp.nonzero(
+            rownz > 0, size=RING_HOT_ROWS, fill_value=-1
+        )[0].astype(jnp.int32)
+        hot_total = jnp.sum((rownz > 0).astype(jnp.int32))
+        sub = jnp.take(rows, jnp.maximum(hot, 0), axis=0)
+        sub = jnp.where((hot >= 0)[:, None], sub, 0)
+        sub_flat = sub.reshape(-1)
+        nz = sub_flat != 0
         total = jnp.sum(nz.astype(jnp.int32))
-        loc = jnp.nonzero(nz, size=RING_EXTRACT_CAP, fill_value=-1)[
-            0
-        ].astype(jnp.int32)
-        val = jnp.take(flat, jnp.maximum(loc, 0))
+        loc2 = jnp.nonzero(
+            nz, size=RING_EXTRACT_CAP, fill_value=-1
+        )[0].astype(jnp.int32)
+        val = jnp.take(sub_flat, jnp.maximum(loc2, 0))
+        loc = jnp.where(
+            loc2 >= 0,
+            jnp.take(hot, jnp.maximum(loc2, 0) // 1024) * 1024
+            + loc2 % 1024,
+            -1,
+        ).astype(jnp.int32)
+        overflow = (hot_total > RING_HOT_ROWS).astype(jnp.int32)
+        total = total + overflow * (RING_EXTRACT_CAP + 1)
         return jnp.concatenate([loc, val, total[None]])[None, :]
 
     def rotate_body(col_pk):
@@ -684,22 +715,47 @@ def banded_adjacency_ring(
             ph["rotate"] += time.perf_counter() - t0
         ph["steps"] += 1
 
-        # ---- drain counts; collect hit launches per (w, d)
+        # ---- drain counts; collect hit launches per (w, d).  All of
+        # the step's count blocks ride ONE d2h via a device-side concat:
+        # per-batch np.asarray fetches serialize a ~30-150 ms tunnel
+        # round trip each (the dominant 1-chip ring cost after operand
+        # reuse)
         t0 = time.perf_counter()
         hits: dict[tuple[int, int], list[tuple[int, int]]] = {}
-        for w, batch_by_shard, size, counts in step_pending:
-            cnp = np.asarray(counts).reshape(n_dev, size, geom.r_tiles)
-            for d, k in zip(*np.nonzero(cnp.sum(axis=2) > 0)):
-                batch = batch_by_shard.get(int(d), [])
-                if int(k) < len(batch):
-                    hits.setdefault((w, int(d)), []).append(batch[int(k)])
+        if step_pending:
+            flat = np.asarray(
+                jnp.concatenate(
+                    [
+                        c.reshape(n_dev, -1)
+                        for _w, _b, _s, c in step_pending
+                    ],
+                    axis=1,
+                )
+            )
+            off = 0
+            for w, batch_by_shard, size, _counts in step_pending:
+                width = size * geom.r_tiles
+                cnp = flat[:, off : off + width].reshape(
+                    n_dev, size, geom.r_tiles
+                )
+                off += width
+                for d, k in zip(*np.nonzero(cnp.sum(axis=2) > 0)):
+                    batch = batch_by_shard.get(int(d), [])
+                    if int(k) < len(batch):
+                        hits.setdefault((w, int(d)), []).append(
+                            batch[int(k)]
+                        )
         ph["drain"] += time.perf_counter() - t0
 
-        # ---- phase B: re-run hit launches with the packing kernel
+        # ---- phase B: re-run hit launches with the packing kernel.
+        # Dispatch EVERY batch first, then decode from ONE concatenated
+        # d2h fetch — the fixed [n_dev, 2*CAP+1] output shape makes the
+        # whole step's extractions a single tunnel round trip
         t_b = time.perf_counter()
         by_window: dict[int, dict[int, list]] = {}
         for (w, d), lst in hits.items():
             by_window.setdefault(w, {})[d] = lst
+        pb_pending: list[tuple[object, dict[int, list], int]] = []
         for w, shard_hits in sorted(by_window.items()):
             s_w = w_starts[w]
             c_off = s_w if s == 0 else 0
@@ -729,7 +785,14 @@ def banded_adjacency_ring(
                     )
                 b0 += size
                 out = fns_for(size, pb=True)(*ops, jnp.asarray(scal_np))
-                arr = np.asarray(out)  # [n_dev, 2 * CAP + 1]
+                pb_pending.append((out, batch_by_shard, size))
+        if pb_pending:
+            flat = np.asarray(
+                jnp.concatenate([o for o, _b, _s in pb_pending], axis=1)
+            )
+            width = flat.shape[1] // len(pb_pending)
+            for k, (_o, batch_by_shard, size) in enumerate(pb_pending):
+                arr = flat[:, k * width : (k + 1) * width]
                 for d, batch in batch_by_shard.items():
                     if not _decode_ring_shard(
                         arr[d], batch, size, out_i, out_j, geom
