@@ -641,3 +641,43 @@ def test_ring_multi_step_rotation_full_band(mesh8):
     )
     ri, rj = banded_adjacency_ring(packed, bounds, 350, mesh=mesh8)
     assert np.array_equal(hi, ri) and np.array_equal(hj, rj)
+
+
+def test_auto_backend_ring_crossover_gate(monkeypatch):
+    """backend='auto' on a multi-chip TPU takes the ring only at
+    n >= VDF_RING_MIN_N (the measured ~2M single/ring crossover,
+    BASELINE.md); smaller libraries fall through to the single-chip
+    driver on one device."""
+    from vid_dup_finder_lib_tpu.ops import hamming
+    from vid_dup_finder_lib_tpu.parallel import ring_pallas
+
+    rng = np.random.default_rng(7)
+    n = 100
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    bounds = np.full(n, n, dtype=np.int64)
+
+    ring_calls: list[int] = []
+
+    def fake_ring(pk, bd, tol):
+        ring_calls.append(pk.shape[0])
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    monkeypatch.setattr(hamming, "_on_tpu", lambda: True)
+    monkeypatch.setattr(ring_pallas, "banded_adjacency_ring", fake_ring)
+    monkeypatch.setenv("VDF_AUTO_RING", "1")
+
+    # below the crossover: single-chip path, ring untouched
+    monkeypatch.setenv("VDF_RING_MIN_N", "1000")
+    ii, jj = hamming.banded_adjacency(packed, bounds, 350, backend="auto")
+    assert ring_calls == []
+    ref_i, ref_j = hamming.banded_adjacency(
+        packed, bounds, 350, backend="host"
+    )
+    assert np.array_equal(ii, ref_i) and np.array_equal(jj, ref_j)
+
+    # at/above the crossover: the ring backend is taken
+    monkeypatch.setenv("VDF_RING_MIN_N", "64")
+    hamming.banded_adjacency(packed, bounds, 350, backend="auto")
+    assert ring_calls == [n]
