@@ -223,7 +223,10 @@ def run_point(n: int) -> dict:
         "pm_dtype": hp.PM_DTYPE,
         "colt": hp.COLT,
         "counts_interior": hp.COUNTS_INTERIOR,
-        "phase_b_per_tile": os.environ.get("VDF_PHASE_B_PER_TILE") == "1",
+        "phase_b_per_tile": (
+            os.environ.get("VDF_PHASE_B_PER_TILE", "1") == "1"
+            and hp.R_TILES == 1
+        ),  # mirrors the driver's effective default
         "hbm_peak_gb": _hbm_peak_gb(),
         "phases": phases,
     }
