@@ -449,16 +449,18 @@ def banded_adjacency(
                 len(jax.devices()) > 1
                 and os.environ.get("VDF_AUTO_RING", "1") == "1"
                 and packed.shape[0]
-                >= int(os.environ.get("VDF_RING_MIN_N", "2000000"))
+                >= int(os.environ.get("VDF_RING_MIN_N", "1000000"))
             ):
                 # multi-chip TPU: shard the library over the mesh (the
                 # int8 banded Pallas ring — per-chip work
                 # O(band/n_chips)).  Below VDF_RING_MIN_N the ring's
-                # fixed costs (per-step operand unpack + drain/extract
+                # fixed costs (per-step operand unpack + setup/drain
                 # round trips) lose to the single-chip driver on ONE
-                # device of the mesh — the measured crossover is ~2M
-                # (BASELINE.md ring rows); small libraries fall through
-                # to the single-chip paths below
+                # device of the mesh.  The DEGENERATE 1-chip ring
+                # measures within 1.1-1.3x of the single-chip driver at
+                # >= 1M (BASELINE.md ring rows), so with 2+ real chips
+                # the ring wins from ~1M up; smaller libraries fall
+                # through to the single-chip paths below
                 from ..parallel.ring_pallas import banded_adjacency_ring
 
                 return banded_adjacency_ring(packed, bounds, tolerance_int)

@@ -381,22 +381,28 @@ def _fill_ring_scalars(
     blk_end = min(n, b0 + ns)
     row_base_t = (d * ns + s_w) // tile_m
     col_base_t = (b0 + c_off) // tile_n
-    for k, (g_rt, g_ct0) in enumerate(batch):
-        rel_rt = g_rt - row_base_t
-        rel_ct = g_ct0 - col_base_t
-        assert 0 <= rel_rt < w_rows // tile_m  # row tile inside its window
-        assert 0 <= rel_ct and (rel_ct + geom.band_tiles) * tile_n <= cw_rows, (
-            rel_ct,
-            cw_rows,
-        )
-        scal[k, 0] = tolerance_int
-        scal[k, 1] = blk_end
-        scal[k, 2] = rel_rt
-        scal[k, 3] = rel_ct
-        scal[k, 4] = min(int(min_bound[g_rt]), blk_end)
-        scal[k, 5] = int(max_row_lo[g_rt])
-        scal[k, 6] = col_base_t
-        scal[k, 7] = row_base_t  # in-kernel iota row_lo (self-search)
+    # vectorized like hamming_pallas._fill_scalars: the per-launch
+    # Python loop cost ~60 us/launch — ~15 s of untimed host time on a
+    # 240k-launch 8M sweep (found round 4; the phases didn't add up)
+    k = len(batch)
+    if k == 0:
+        return
+    g_rt = np.fromiter((b[0] for b in batch), np.int64, count=k)
+    g_ct0 = np.fromiter((b[1] for b in batch), np.int64, count=k)
+    rel_rt = g_rt - row_base_t
+    rel_ct = g_ct0 - col_base_t
+    assert rel_rt.min() >= 0 and rel_rt.max() < w_rows // tile_m
+    assert rel_ct.min() >= 0 and (
+        int(rel_ct.max()) + geom.band_tiles
+    ) * tile_n <= cw_rows, (int(rel_ct.max()), cw_rows)
+    scal[:k, 0] = tolerance_int
+    scal[:k, 1] = blk_end
+    scal[:k, 2] = rel_rt
+    scal[:k, 3] = rel_ct
+    scal[:k, 4] = np.minimum(min_bound[g_rt], blk_end)
+    scal[:k, 5] = max_row_lo[g_rt]
+    scal[:k, 6] = col_base_t
+    scal[:k, 7] = row_base_t  # in-kernel iota row_lo (self-search)
 
 
 def _host_launch_pairs(
@@ -512,6 +518,7 @@ def banded_adjacency_ring(
     """
     import jax.numpy as jnp
 
+    t_setup = time.perf_counter()
     n = packed.shape[0]
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
@@ -641,7 +648,10 @@ def banded_adjacency_ring(
     cache_ops = n_win == 1
     ph = {"operands": 0.0, "dispatch": 0.0, "drain": 0.0, "phase_b": 0.0,
           "rotate": 0.0, "op_builds": 0, "op_reuses": 0, "batches": 0,
-          "steps": 0}
+          "steps": 0,
+          # host/h2d work before the step loop: metadata h2d, per-tile
+          # metadata reductions, launch planning, jit retrieval
+          "setup": time.perf_counter() - t_setup}
 
     def build_ops(s, w, col_blk):
         t0 = time.perf_counter()
