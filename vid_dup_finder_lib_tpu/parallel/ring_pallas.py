@@ -570,18 +570,22 @@ def banded_adjacency_ring(
         min(w_rows + -(-max(max_span, 1) // align) * align, ns) + pad_rows
     )
 
-    # per-row-tile metadata (global)
+    # per-row-tile metadata (global), vectorized: full tiles reduce in
+    # one reshape, the partial tail tile separately; tiles past n keep
+    # (0, sentinel)
     n_tiles = npad // tile_m
     min_bound = np.zeros(n_tiles, dtype=np.int64)
     max_row_lo = np.full(n_tiles, hp._ROW_LO_SENTINEL, dtype=np.int64)
-    for rt in range(n_tiles):
-        r0 = rt * tile_m
-        if r0 >= n:
-            continue
-        r1 = min(r0 + tile_m, n)
-        min_bound[rt] = int(bounds_c[r0:r1].min())
-        if r1 == r0 + tile_m:
-            max_row_lo[rt] = r1 - 1
+    nt_full = n // tile_m
+    if nt_full:
+        min_bound[:nt_full] = (
+            bounds_c[: nt_full * tile_m].reshape(-1, tile_m).min(axis=1)
+        )
+        max_row_lo[:nt_full] = (
+            np.arange(1, nt_full + 1, dtype=np.int64) * tile_m - 1
+        )
+    if nt_full * tile_m < n:
+        min_bound[nt_full] = int(bounds_c[nt_full * tile_m :].min())
 
     launches, k_max = _plan_ring_launches(
         n, n_dev, ns, bounds_c, w_rows, n_win, geom
@@ -619,6 +623,12 @@ def banded_adjacency_ring(
         packed_pad = np.zeros((npad, 32), np.uint32)
         packed_pad[:n] = packed
         own_pk = shard_fn(packed_pad)
+    elif npad == n:
+        # aligned device-resident library: no pad needed — skip the
+        # concat, which would otherwise copy the whole multi-GB packed
+        # buffer per call (multi-GB device allocs degrade progressively
+        # on this tunnel; this was most of the 16M setup cost)
+        own_pk = shard_fn(packed)
     else:
         own_pk = shard_fn(
             jnp.concatenate(
