@@ -1,8 +1,9 @@
-"""ctypes bindings for the native host runtime (native/vdf_native.cpp).
+"""ctypes bindings for the native host runtime (native_src/vdf_native.cpp).
 
 Builds the shared library on first use (g++, cached next to the source,
 rebuilt when the source changes) and degrades gracefully to the NumPy paths
-when no compiler is available.
+when no compiler is available.  The C++ source ships as package data, so
+installed wheels build it the same way a source checkout does.
 """
 
 from __future__ import annotations
@@ -16,8 +17,8 @@ import threading
 import numpy as np
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "native",
+    os.path.dirname(os.path.abspath(__file__)),
+    "native_src",
     "vdf_native.cpp",
 )
 _LOCK = threading.Lock()
