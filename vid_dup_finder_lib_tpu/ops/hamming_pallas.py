@@ -1124,24 +1124,38 @@ def _launch_metadata(
     the window extrema driving the kernel's interior-tile fast path."""
     TILE_M, TILE_N, R_TILES, _BAND_TILES = geom
     n_tiles = n_row_chunks * R_TILES
-    first_ct = np.empty(n_tiles, dtype=np.int64)
-    n_ct = np.empty(n_tiles, dtype=np.int64)
+    first_ct = np.zeros(n_tiles, dtype=np.int64)
+    n_ct = np.zeros(n_tiles, dtype=np.int64)
     min_bound = np.zeros(n_tiles, dtype=np.int64)
     max_row_lo = np.full(n_tiles, _ROW_LO_SENTINEL, dtype=np.int64)
-    for rt in range(n_tiles):
-        r0 = rt * TILE_M
-        r1 = min(r0 + TILE_M, n)
-        if r0 >= n:
-            first_ct[rt] = 0
-            n_ct[rt] = 0
-            continue
-        c_end = int(bounds[r0:r1].max())
+    # vectorized per-tile reduction (a Python loop here is 16k iterations
+    # at 16M hashes, paid on every cold state build): full tiles reduce
+    # in one reshape, the partial tail tile separately; tiles past n keep
+    # the (0, 0, 0, sentinel) defaults
+    bounds_c = np.asarray(bounds[:n], dtype=np.int64)
+    nt_used = min(-(-n // TILE_M), n_tiles) if n else 0
+    if nt_used:
+        nt_full = min(n // TILE_M, n_tiles)
+        cmax = np.empty(nt_used, np.int64)
+        cmin = np.empty(nt_used, np.int64)
+        if nt_full:
+            resh = bounds_c[: nt_full * TILE_M].reshape(-1, TILE_M)
+            cmax[:nt_full] = resh.max(axis=1)
+            cmin[:nt_full] = resh.min(axis=1)
+            # full tiles: no pad-row sentinels
+            max_row_lo[:nt_full] = (
+                np.arange(1, nt_full + 1, dtype=np.int64) * TILE_M - 1
+            )
+        if nt_used > nt_full:  # partial tail tile
+            cmax[nt_full] = bounds_c[nt_full * TILE_M :].max()
+            cmin[nt_full] = bounds_c[nt_full * TILE_M :].min()
+        r0 = np.arange(nt_used, dtype=np.int64) * TILE_M
         ct0 = (r0 + 1) // TILE_N
-        first_ct[rt] = ct0
-        n_ct[rt] = max(0, -(-(c_end - ct0 * TILE_N) // TILE_N))
-        min_bound[rt] = min(int(bounds[r0:r1].min()), n)
-        if r1 == r0 + TILE_M:  # full tile: no pad-row sentinels
-            max_row_lo[rt] = r1 - 1
+        first_ct[:nt_used] = ct0
+        n_ct[:nt_used] = np.maximum(
+            0, -(-(cmax - ct0 * TILE_N) // TILE_N)
+        )
+        min_bound[:nt_used] = np.minimum(cmin, n)
     return first_ct, n_ct, min_bound, max_row_lo
 
 
@@ -1264,19 +1278,15 @@ class PallasSearchState:
 @functools.cache
 def _stream_update_jit():
     import jax
-    import jax.numpy as jnp
 
     # no donation: in-flight sweep batches still read the previous pm1
     # buffer, and donating it would invalidate their handle — the
     # full-buffer copy costs ~2.5 ms per chunk at HBM bandwidth
     @jax.jit
     def f(pm1, chunk_packed, at):
-        k = chunk_packed.shape[0]
-        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-        bits = (chunk_packed[:, :, None] >> shifts) & jnp.uint32(1)
-        pm = bits.astype(jnp.int8).reshape(k, HASH_BITS_PADDED) * 2 - 1
-        if PM_DTYPE != "int8":
-            pm = pm.astype(jnp.bfloat16)
+        # whole-chunk unpack (one scan step): the operand arrives by h2d,
+        # not via a dynamic_slice, so no broadcast temp materializes
+        pm = unpack_pm_scan(chunk_packed, chunk_packed.shape[0])
         return jax.lax.dynamic_update_slice(pm1, pm, (at, 0))
 
     return f
@@ -1396,35 +1406,46 @@ def _packed_update_jit():
     return f
 
 
-@functools.cache
-def _window_build_jit(w_rows: int):
+def unpack_pm_scan(pk, chunk: int):
+    """uint32[K, 32] packed hashes -> PM_DTYPE[K, 1024] over {-1, +1},
+    bit-expanded in ``chunk``-row chunks under ``lax.scan``.
+
+    The one shared +/-1 unpack body for every windowed driver (single-chip
+    window build, refs column window, streamed upload, ring and sharded-
+    refs operands).  Chunking matters whenever ``pk`` comes out of a
+    ``dynamic_slice``: the slice is a fusion barrier, so an unchunked
+    bit-expansion MATERIALIZES the u32[K, 32, 32] broadcast temp — 11 GB
+    at a 3M-row window.  ``chunk`` must divide ``K``; callers pick
+    ``math.gcd(K, 1024..4096)``.
+    """
     import jax
     import jax.numpy as jnp
 
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+
+    def body(_, pkc):
+        bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
+        pm_c = (
+            bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2 - 1
+        )
+        if PM_DTYPE != "int8":
+            pm_c = pm_c.astype(jnp.bfloat16)
+        return None, pm_c
+
+    _, pm = jax.lax.scan(body, None, pk.reshape(-1, chunk, 32))
+    return pm.reshape(pk.shape[0], HASH_BITS_PADDED)
+
+
+@functools.cache
+def _window_build_jit(w_rows: int):
+    import jax
+
     @jax.jit
     def f(packed_dev, bounds_full, at):
-        pk = jax.lax.dynamic_slice(packed_dev, (at, 0), (w_rows, 32))
-        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-
-        # unpack in chunks under lax.scan: the dynamic_slice is a fusion
-        # barrier, so an unchunked bit-expansion MATERIALIZES a
-        # u32[w, 32, 32] temp — 11 GB at a 3M-row window
         import math
 
-        chunk = math.gcd(w_rows, 1024)
-
-        def body(_, pkc):
-            bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
-            pm_c = (
-                bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2
-                - 1
-            )
-            if PM_DTYPE != "int8":
-                pm_c = pm_c.astype(jnp.bfloat16)
-            return None, pm_c
-
-        _, pm = jax.lax.scan(body, None, pk.reshape(-1, chunk, 32))
-        pm = pm.reshape(w_rows, HASH_BITS_PADDED)
+        pk = jax.lax.dynamic_slice(packed_dev, (at, 0), (w_rows, 32))
+        pm = unpack_pm_scan(pk, math.gcd(w_rows, 1024))
         # full-library row metadata is stored [n_pad//128, 128] (row r at
         # [r//128, r%128]): a [n, 1] int32 device array gets lane-padded
         # 128x by TPU tiling (T(1,128)) — ~10 GB per array at 16M hashes.
@@ -2340,26 +2361,11 @@ def _refs_cols_window_jit(w_rows: int):
     import math
 
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
     def f(packed_dev, at):
         pk = jax.lax.dynamic_slice(packed_dev, (at, 0), (w_rows, 32))
-        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-        chunk = math.gcd(w_rows, 1024)
-
-        def body(_, pkc):
-            bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
-            pm_c = (
-                bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2
-                - 1
-            )
-            if PM_DTYPE != "int8":
-                pm_c = pm_c.astype(jnp.bfloat16)
-            return None, pm_c
-
-        _, pm = jax.lax.scan(body, None, pk.reshape(-1, chunk, 32))
-        return pm.reshape(w_rows, HASH_BITS_PADDED)
+        return unpack_pm_scan(pk, math.gcd(w_rows, 1024))
 
     return f
 

@@ -142,8 +142,6 @@ def refs_adjacency_sharded(
     # ---- host planner: per-shard launches, grouped into window slots
     # (each shard slides its OWN window over its band slab; a slot is
     # one SPMD round across shards)
-    step = w_rows - BAND_TILES * TILE_N
-    assert step > 0
     per_shard_launches: list[list[tuple[int, int]]] = []
     for d in range(n_dev):
         lst: list[tuple[int, int]] = []
@@ -161,7 +159,6 @@ def refs_adjacency_sharded(
         per_shard_launches.append(lst)
 
     # slot assignment per shard: greedy monotone windows
-    slots: list[list[tuple[int, list]]] = []  # slot -> [(w_start, lst)]
     per_shard_slots: list[list[tuple[int, list]]] = []
     for d in range(n_dev):
         out: list[tuple[int, list]] = []
@@ -215,16 +212,21 @@ def refs_adjacency_sharded(
           "slots": 0, "batches": 0}
 
     def fill(scal, batch, d, w_start):
+        # vectorized launch-scalar fill (a per-launch Python loop here
+        # costs ~60 us/launch on the single-core host — same fix as
+        # ring_pallas._fill_ring_scalars)
         w_tn = w_start // TILE_N
-        for k, (g_rt, ct0) in enumerate(batch):
-            scal[k, 0] = tolerance_int
-            scal[k, 1] = n
-            scal[k, 2] = g_rt - d * r_sh_tiles  # local refs tile
-            scal[k, 3] = ct0 - w_tn
-            scal[k, 4] = int(min_bound[g_rt])
-            scal[k, 5] = int(max_row_lo[g_rt])
-            scal[k, 6] = w_tn
-            scal[k, 7] = -1  # row_lo from the per-ref operand
+        k = len(batch)
+        ba = np.asarray(batch, dtype=np.int64).reshape(k, 2)
+        g_rts, ct0s = ba[:, 0], ba[:, 1]
+        scal[:k, 0] = tolerance_int
+        scal[:k, 1] = n
+        scal[:k, 2] = g_rts - d * r_sh_tiles  # local refs tile
+        scal[:k, 3] = ct0s - w_tn
+        scal[:k, 4] = min_bound[g_rts]
+        scal[:k, 5] = max_row_lo[g_rts]
+        scal[:k, 6] = w_tn
+        scal[:k, 7] = -1  # row_lo from the per-ref operand
 
     for slot in range(max_slots):
         cur = {
@@ -264,21 +266,37 @@ def refs_adjacency_sharded(
             pending.append((batch_by_shard, size, counts))
             b0 += size
 
-        # drain counts; collect hit launches per shard
+        # drain counts; collect hit launches per shard.  ONE concatenated
+        # d2h for the whole slot: per-batch np.asarray fetches serialize
+        # a ~30-150 ms tunnel round trip each (same fix as the ring's
+        # one-concat drain)
         t0 = time.perf_counter()
         hits: dict[int, list[tuple[int, int]]] = {}
-        for batch_by_shard, size, counts in pending:
-            cnp = np.asarray(counts).reshape(n_dev, size, R_TILES)
-            for d, k in zip(*np.nonzero(cnp.sum(axis=2) > 0)):
-                batch = batch_by_shard.get(int(d), [])
-                if int(k) < len(batch):
-                    hits.setdefault(int(d), []).append(batch[int(k)])
+        if pending:
+            flat = np.asarray(
+                jnp.concatenate(
+                    [c.reshape(n_dev, -1) for (_, _, c) in pending],
+                    axis=1,
+                )
+            )
+            off = 0
+            for batch_by_shard, size, _counts in pending:
+                w = size * R_TILES
+                cnp = flat[:, off : off + w].reshape(n_dev, size, R_TILES)
+                off += w
+                for d, k in zip(*np.nonzero(cnp.sum(axis=2) > 0)):
+                    batch = batch_by_shard.get(int(d), [])
+                    if int(k) < len(batch):
+                        hits.setdefault(int(d), []).append(batch[int(k)])
         ph["drain"] += time.perf_counter() - t0
 
-        # phase B over the hit launches, same cols windows
+        # phase B over the hit launches, same cols windows.  Dispatch
+        # every batch first, then ONE concatenated d2h fetch for the
+        # slot (per-batch fetches would serialize tunnel round trips)
         t0 = time.perf_counter()
         if hits:
             total = max(len(v) for v in hits.values())
+            pb_pending = []
             b0 = 0
             while b0 < total:
                 size = pick(pb_buckets, total - b0)
@@ -295,8 +313,16 @@ def refs_adjacency_sharded(
                 out = fns_for(size, pb=True)(
                     rows_pm, cols_pm, bounds_dev, row_lo_dev,
                     jnp.asarray(scal_np),
-                )
-                arr = np.asarray(out)  # [n_dev, 2 * CAP + 1]
+                )  # [n_dev, 2 * CAP + 1]
+                pb_pending.append((batch_by_shard, size, out))
+            flat = np.asarray(
+                jnp.concatenate([o for (_, _, o) in pb_pending], axis=1)
+            )
+            off = 0
+            for batch_by_shard, size, out in pb_pending:
+                w = out.shape[1]
+                arr = flat[:, off : off + w]
+                off += w
                 for d, batch in batch_by_shard.items():
                     if not rp._decode_ring_shard(
                         arr[d], batch, size, out_i, out_j, geom
@@ -344,35 +370,20 @@ def _unpack_host_free(refs_pad: np.ndarray) -> np.ndarray:
 def _window_jits(axis, mesh, interpret, w_rows, need, geom):
     """Per-shard column-window build: each shard slices its OWN window
     of the replicated packed candidates at its sharded offset."""
-    from ..definitions import HASH_BITS_PADDED
     from ..utils.jaxconfig import enable_compilation_cache
 
     enable_compilation_cache()
     import math
 
     import jax
-    import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def body(packed_rep, off):
         at = off[0, 0]
         pk = jax.lax.dynamic_slice(packed_rep, (at, 0), (w_rows, 32))
-        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-        chunk = math.gcd(w_rows, 4096)
-
-        def step(_, pkc):
-            bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
-            pm_c = (
-                bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2
-                - 1
-            )
-            if hp.PM_DTYPE != "int8":
-                pm_c = pm_c.astype(jnp.bfloat16)
-            return None, pm_c
-
-        _, pm = jax.lax.scan(step, None, pk.reshape(-1, chunk, 32))
-        return pm.reshape(w_rows, HASH_BITS_PADDED)
+        # shared chunked-scan unpack: ops/hamming_pallas.unpack_pm_scan
+        return hp.unpack_pm_scan(pk, math.gcd(w_rows, 4096))
 
     return jax.jit(
         shard_map(

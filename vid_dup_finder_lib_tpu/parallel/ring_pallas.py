@@ -121,25 +121,9 @@ def _ring_jits(
     pack_chunk = hp._build_chunk(interpret, geom)
 
     def unpack_rows(pk):
-        """uint32[K, 32] -> PM_DTYPE[K, 1024] over {-1, +1}, chunked under
-        lax.scan (an unchunked bit-expansion materializes a [K, 32, 32]
-        temp — see ops/hamming_pallas._window_build_jit)."""
-        k = pk.shape[0]
-        chunk = math.gcd(k, 4096)
-        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-
-        def body(_, pkc):
-            bits = (pkc[:, :, None] >> shifts) & jnp.uint32(1)
-            pm_c = (
-                bits.astype(jnp.int8).reshape(chunk, HASH_BITS_PADDED) * 2
-                - 1
-            )
-            if hp.PM_DTYPE != "int8":
-                pm_c = pm_c.astype(jnp.bfloat16)
-            return None, pm_c
-
-        _, pm = jax.lax.scan(body, None, pk.reshape(-1, chunk, 32))
-        return pm.reshape(k, HASH_BITS_PADDED)
+        """uint32[K, 32] -> PM_DTYPE[K, 1024] over {-1, +1} (shared
+        chunked-scan body: ops/hamming_pallas.unpack_pm_scan)."""
+        return hp.unpack_pm_scan(pk, math.gcd(pk.shape[0], 4096))
 
     def _row_meta(bounds_c, row_lo_c, s_w):
         b = jax.lax.dynamic_slice(
@@ -686,7 +670,7 @@ def banded_adjacency_ring(
 
     for s in range(k_max + 1):
         # ---- phase A: counts over every launch of this ring step
-        step_pending: list[tuple[int, dict[int, list], object]] = []
+        step_pending: list[tuple[int, dict[int, list], int, object]] = []
         ops_cache: dict[int, tuple] = {}
         for w in range(n_win):
             per_shard = {
