@@ -124,10 +124,71 @@ def cpu_baseline_rate(packed, bounds, sample_rows: int = 4096) -> float:
     return comps / (time.time() - t)
 
 
+def _tpu_responsive(
+    tries: int = int(os.environ.get("VDF_BENCH_PROBE_TRIES", "3")),
+    timeout_s: int = int(os.environ.get("VDF_BENCH_PROBE_TIMEOUT", "120")),
+) -> bool:
+    """Probe the TPU tunnel in a subprocess with a hard timeout.
+
+    The dev tunnel occasionally WEDGES: backend init succeeds but a
+    trivial matmul blocks for many minutes (CLAUDE.md environment
+    notes).  Probing in-process would hang this benchmark forever, so
+    a child process runs one tiny matmul + d2h fetch; if it cannot
+    finish within ``timeout_s`` after ``tries`` attempts the bench
+    degrades to the XLA-CPU device backend instead of hanging.
+    """
+    import subprocess
+
+    probe = (
+        "import jax, numpy as np\n"
+        "x = jax.numpy.ones((256, 256), dtype=jax.numpy.bfloat16)\n"
+        "print(float(np.asarray(x @ x).sum()))\n"
+    )
+    for _ in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                timeout=timeout_s,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
 def main() -> None:
     enable_compilation_cache()
     n = int(os.environ.get("VDF_BENCH_N", "1000000"))
     backend = os.environ.get("VDF_BENCH_BACKEND", "auto")
+
+    # Wedged-tunnel guard: if the platform is not already forced off
+    # the TPU and the device cannot answer a trivial matmul, fall back
+    # to the CPU host backend and say so — one honest JSON line beats
+    # an indefinite hang under the driver.
+    error_note = None
+    if os.environ.get("VDF_JAX_PLATFORM", "") != "cpu" and backend in (
+        "auto",
+        "pallas",
+        "pallas4",
+        "device",
+    ):
+        if not _tpu_responsive():
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            try:
+                from vid_dup_finder_lib_tpu.native import available
+
+                backend = "native" if available() else "device"
+            except Exception:
+                backend = "device"
+            n = min(n, 100_000)
+            error_note = (
+                "tpu tunnel unresponsive (probe matmul timed out); "
+                f"degraded to CPU '{backend}' backend at reduced n"
+            )
 
     packed, durations, starts = synth_library(n)
     bounds = self_search_bounds(durations)
@@ -206,6 +267,18 @@ def main() -> None:
             def run():
                 return banded_adjacency_host(packed, bounds, TOLERANCE_INT)
 
+        elif backend == "native":
+            from vid_dup_finder_lib_tpu.native import (
+                banded_adjacency_native,
+            )
+
+            packed64 = np.ascontiguousarray(packed).view(np.uint64)
+
+            def run():
+                return banded_adjacency_native(
+                    packed64, bounds, TOLERANCE_INT
+                )
+
         else:
 
             def run():
@@ -263,6 +336,7 @@ def main() -> None:
                     max(samples) - min(samples), 3
                 ),
                 "phases": phases,
+                **({"error": error_note} if error_note else {}),
             }
         )
     )

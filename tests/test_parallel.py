@@ -429,6 +429,42 @@ def test_ring_windowed_and_zero_hash_guard(mesh8):
     assert len(hi) > 0
 
 
+def test_ring_pipelined_matches_host(mesh8, monkeypatch):
+    """VDF_RING_PIPELINE=1 (drain/phase-B of step s-1 deferred past step
+    s's phase-A dispatch) must be a pure scheduling change: same pairs as
+    the host sweep on a multi-window (window_rows=1024), multi-step
+    (k_max >= 1) configuration with pathological all-zero/all-ones rows
+    and a planted cross-block duplicate pair."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.parallel.ring_pallas import (
+        banded_adjacency_ring,
+    )
+
+    monkeypatch.setenv("VDF_RING_PIPELINE", "1")
+    rng = np.random.default_rng(40)
+    n = 16384
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    packed[:, -1] &= np.uint32(0xFF)
+    durs = np.sort(rng.integers(1000, 40000, n))
+    for row in (2040, 2047, 4095, 6100, 12287):
+        packed[row] = 0
+    packed[8191] = 0xFFFFFFFF
+    packed[8191, -1] = 0xFF
+    bounds = np.searchsorted(
+        durs, (durs * 1.1).astype(np.int64), side="right"
+    )
+    packed[2046] = packed[2050]
+    durs[2050] = durs[2046]
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    ri, rj = banded_adjacency_ring(
+        packed, bounds, 350, mesh=mesh8, window_rows=1024
+    )
+    assert np.array_equal(hi, ri) and np.array_equal(hj, rj)
+    assert len(hi) > 0
+
+
 def test_ring_device_resident_aligned_no_pad(mesh8):
     """A tile-aligned DEVICE-RESIDENT library (the IncrementalDeviceLibrary
     steady state: n a multiple of n_dev * TILE_M, so npad == n) takes the

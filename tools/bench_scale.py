@@ -157,6 +157,7 @@ def run_point(n: int) -> dict:
             "comps": comps,
             "n_devices": int(mesh.devices.size),
             "window_rows": wr,
+            "pipelined": os.environ.get("VDF_RING_PIPELINE", "0") == "1",
             "pairs": len(ii),
             "planted_clusters_ok": CLUSTERS,
             "cluster_size": CLUSTER_SIZE,

@@ -668,7 +668,7 @@ def banded_adjacency_ring(
         finally:
             ph["operands"] += time.perf_counter() - t0
 
-    for s in range(k_max + 1):
+    def dispatch_step(s, col_pk_s):
         # ---- phase A: counts over every launch of this ring step
         step_pending: list[tuple[int, dict[int, list], int, object]] = []
         ops_cache: dict[int, tuple] = {}
@@ -681,7 +681,7 @@ def banded_adjacency_ring(
                 continue
             s_w = w_starts[w]
             c_off = s_w if s == 0 else 0
-            ops = build_ops(s, w, col_pk)
+            ops = build_ops(s, w, col_pk_s)
             if cache_ops:
                 ops_cache[w] = ops
             b0 = 0
@@ -708,17 +708,9 @@ def banded_adjacency_ring(
                 b0 += size
             ops = None  # free this window's operands (counts hold them
             # alive on device only until their executions finish)
+        return step_pending, ops_cache
 
-        # rotate early: the next step's column block moves while this
-        # step's counts drain and phase B runs (phase B keeps using the
-        # old col_pk handle)
-        col_pk_s = col_pk
-        if s < k_max:
-            t0 = time.perf_counter()
-            col_pk = rotate_fn(col_pk)
-            ph["rotate"] += time.perf_counter() - t0
-        ph["steps"] += 1
-
+    def finish_step(s, step_pending, ops_cache, col_pk_s):
         # ---- drain counts; collect hit launches per (w, d).  All of
         # the step's count blocks ride ONE d2h via a device-side concat:
         # per-batch np.asarray fetches serialize a ~30-150 ms tunnel
@@ -811,6 +803,35 @@ def banded_adjacency_ring(
                             )
         ph["phase_b"] += time.perf_counter() - t_b
         ops_cache.clear()  # release this step's retained operands
+
+    # Depth-1 software pipeline (VDF_RING_PIPELINE=1): dispatch step
+    # s+1's phase-A counts BEFORE draining step s, so the device stays
+    # fed while the host fills launch scalars, rides the counts /
+    # extraction d2h round trips, and decodes pairs.  Costs one extra
+    # step of live counts buffers (and, when n_win == 1, a second
+    # step's retained +/-1 operands); off by default until measured
+    # on hardware.
+    pipelined = os.environ.get("VDF_RING_PIPELINE", "0") == "1"
+    prev = None
+    for s in range(k_max + 1):
+        step_pending, ops_cache = dispatch_step(s, col_pk)
+        # rotate early: the next step's column block moves while this
+        # step's counts drain and phase B runs (phase B keeps using the
+        # old col_pk handle)
+        col_pk_s = col_pk
+        if s < k_max:
+            t0 = time.perf_counter()
+            col_pk = rotate_fn(col_pk)
+            ph["rotate"] += time.perf_counter() - t0
+        ph["steps"] += 1
+        if pipelined:
+            if prev is not None:
+                finish_step(*prev)
+            prev = (s, step_pending, ops_cache, col_pk_s)
+        else:
+            finish_step(s, step_pending, ops_cache, col_pk_s)
+    if prev is not None:
+        finish_step(*prev)
 
     global LAST_RING_PHASES
     LAST_RING_PHASES = dict(ph)
