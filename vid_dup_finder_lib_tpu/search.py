@@ -199,19 +199,29 @@ class Search:
         bounds = self._self_search_bounds()
         matched = self.matched
         ret: list[list[str]] = []
-        for lhs in range(n):
-            if matched[lhs]:
-                continue
-            matched[lhs] = True
-            if use_adjacency:
-                # greedy consume, vectorized: within one target's scan
-                # every still-unmatched in-tolerance candidate is
-                # consumed (search_algorithm.rs:149-156) — no per-j
-                # decision depends on an earlier j of the SAME scan, so
-                # the boolean take preserves the reference's consume
-                # order exactly while keeping dense-adjacency replay
-                # (millions of pairs) off the Python bytecode path.
-                assert self._adj_j is not None and self._adj_off is not None
+        if use_adjacency:
+            assert self._adj_j is not None and self._adj_off is not None
+            # greedy consume, vectorized two ways while replaying the
+            # reference's consume order exactly:
+            # (a) within one target's scan, every still-unmatched
+            #     in-tolerance candidate is consumed at once
+            #     (search_algorithm.rs:149-156) — no per-j decision
+            #     depends on an earlier j of the SAME scan;
+            # (b) rows with NO in-tolerance candidate are skipped
+            #     entirely: they can't form a group or consume anything,
+            #     and since candidates satisfy j > lhs an empty row can
+            #     never be a LATER row's candidate, so its visit-marking
+            #     is inert during the loop.  Without this skip the
+            #     replay walks all n rows in Python (~4.6 s at 1M vs
+            #     7 ms with 600 pairs).  The reference's all-visited
+            #     post-condition (search_algorithm.rs:131-136) is
+            #     restored by the fill below.
+            rows = np.nonzero(self._adj_off[1:] > self._adj_off[:-1])[0]
+            for lhs in rows:
+                lhs = int(lhs)
+                if matched[lhs]:
+                    continue
+                matched[lhs] = True
                 cands = self._adj_j[
                     self._adj_off[lhs] : self._adj_off[lhs + 1]
                 ]
@@ -220,7 +230,14 @@ class Search:
                     continue
                 match_vec = [self.entries[int(j)].src_path for j in sel]
                 matched[sel] = True
-            else:
+                match_vec.append(self.entries[lhs].src_path)
+                ret.append(match_vec)
+            matched[:] = True
+        else:
+            for lhs in range(n):
+                if matched[lhs]:
+                    continue
+                matched[lhs] = True
                 match_vec = []
                 for j in range(lhs + 1, int(bounds[lhs])):
                     if matched[j]:
@@ -228,9 +245,9 @@ class Search:
                     if self._distance(lhs, int(j)) <= tol:
                         match_vec.append(self.entries[int(j)].src_path)
                         matched[j] = True
-            if match_vec:
-                match_vec.append(self.entries[lhs].src_path)
-                ret.append(match_vec)
+                if match_vec:
+                    match_vec.append(self.entries[lhs].src_path)
+                    ret.append(match_vec)
         ret.reverse()  # search_algorithm.rs:136,167
         return ret
 
