@@ -1,0 +1,108 @@
+"""End-to-end PUBLIC-API search benchmark: VideoHash objects -> groups.
+
+Measures what a user of the reference actually calls
+(``vid_dup_finder_lib::search``, lib.rs:132-145): build a Search over n
+VideoHash objects and run ``search_self`` — matrix build + upload +
+banded sweep + host group replay, everything included.  The kernel-only
+numbers live in BENCH_SCALE_*; this pins the object-API overhead around
+them (round 4: the replay was a hidden all-n Python loop costing ~4.6 s
+at 1M, now candidate-rows-only; hashes_to_matrix was an np.stack of n
+arrays, now one bytes-join).
+
+Prints one JSON line per measured point.
+
+Env: VDF_E2E_N (default 1_000_000), VDF_E2E_BACKEND (default auto),
+VDF_E2E_ITERS (default 2; the search is re-run on a fresh Search with
+the SAME entries — compile caches warm, library re-uploads each time
+unless the backend keeps state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from vid_dup_finder_lib_tpu.utils.jaxconfig import (  # noqa: E402
+    enable_compilation_cache,
+)
+from vid_dup_finder_lib_tpu.video_hash import VideoHash  # noqa: E402
+
+_BENCH_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _BENCH_DIR)
+from bench import (  # noqa: E402
+    CLUSTER_SIZE,
+    N_CLUSTERS,
+    self_search_bounds,
+    synth_library,
+)
+
+TOLERANCE = 0.35  # integer domain 350, matches bench.py's TOLERANCE_INT
+
+
+def main() -> None:
+    enable_compilation_cache()
+    n = int(os.environ.get("VDF_E2E_N", "1000000"))
+    backend = os.environ.get("VDF_E2E_BACKEND", "auto")
+    iters = int(os.environ.get("VDF_E2E_ITERS", "2"))
+
+    packed, durations, starts = synth_library(n)
+    bounds = self_search_bounds(durations)
+    comps = int(np.sum(np.maximum(bounds - np.arange(1, n + 1), 0)))
+
+    t0 = time.time()
+    hashes = [
+        VideoHash.from_packed_u32(
+            packed[i], f"/v/{i:08}.mp4", int(durations[i])
+        )
+        for i in range(n)
+    ]
+    t_objs = time.time() - t0
+
+    from vid_dup_finder_lib_tpu.search import Search
+
+    best = None
+    groups = None
+    for _ in range(iters):
+        s = Search(hashes)
+        t0 = time.time()
+        groups = s.search_self(TOLERANCE, backend=backend)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+
+    # planted clusters must come back as groups: CLUSTER_SIZE consecutive
+    # rows share a duration window and sit pairwise <= 120 bits apart
+    by_first = {min(g): sorted(g) for g in groups}
+    missing = 0
+    for st in starts:
+        want = sorted(f"/v/{i:08}.mp4" for i in range(st, st + CLUSTER_SIZE))
+        got = by_first.get(want[0])
+        if got != want:
+            missing += 1
+    assert missing == 0, f"{missing}/{N_CLUSTERS} planted clusters wrong"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"search_e2e_secs@{n}",
+                "value": round(best, 3),
+                "unit": "s (objects->groups, matrix+upload+sweep+replay)",
+                "comps_per_s": round(comps / best, 1),
+                "groups": len(groups),
+                "backend": backend,
+                "iters": iters,
+                "obj_build_secs_untimed": round(t_objs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
