@@ -650,10 +650,16 @@ def test_ring_planner_work_scaling():
     assert totals[16] <= totals[1] * 2.0, totals
 
 
-def test_ring_extraction_overflow_host_fallback(mesh8, monkeypatch):
+@pytest.mark.parametrize("pipelined", ["0", "1"])
+def test_ring_extraction_overflow_host_fallback(
+    mesh8, monkeypatch, pipelined
+):
     """Ring phase-B extraction-capacity overflow takes the exact NumPy
     per-launch recompute (dense duplicate block exceeding the per-shard
-    word cap)."""
+    word cap) — in default AND pipelined scheduling (the fallback runs
+    inside the deferred finish_step with the retained pre-rotation
+    column handle)."""
+    monkeypatch.setenv("VDF_RING_PIPELINE", pipelined)
     from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
     from vid_dup_finder_lib_tpu.parallel import ring_pallas
 
