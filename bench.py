@@ -173,6 +173,7 @@ def main() -> None:
         "pallas",
         "pallas4",
         "device",
+        "ring",
     ):
         if not _tpu_responsive():
             import jax
