@@ -1,0 +1,144 @@
+"""LIVE gstreamer decode tests via the ctypes binding (no PyGObject).
+
+The reference's primary decode backend is gstreamer
+(``vid_frame_iter/src/frame_iter.rs:59-347``); ``gst_ctypes.py`` binds
+the same C libraries directly so the backend runs even without ``gi``.
+These tests exercise the REAL pipeline end to end: a fixture video is
+synthesized with ``videotestsrc ! theoraenc ! oggmux`` (the plugin set
+this image ships), then decoded through the production
+``uridecodebin ! videorate ! capsfilter ! videoconvert ! appsink``
+path — frame counts, fps resampling, accurate seeks, RGB/GRAY8 caps,
+teardown, and error containment, mirroring the reference's doc-test
+strategy of decoding bundled videos and asserting frame counts
+(``vid_frame_iter/src/lib.rs:21-119``).
+
+Skipped wholesale where the gst C libraries are absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vid_dup_finder_lib_tpu.errors import VidProc
+from vid_dup_finder_lib_tpu.ingest import gst_ctypes
+
+pytestmark = pytest.mark.skipif(
+    not gst_ctypes.available()
+    or not all(
+        gst_ctypes.has_element(e)
+        for e in ("videotestsrc", "theoraenc", "oggmux", "oggdemux")
+    ),
+    reason="gst C libraries or base plugins unavailable",
+)
+
+W, H, FPS, NFRAMES = 160, 120, 24, 48  # 2 s of SMPTE bars
+
+
+@pytest.fixture(scope="module")
+def fixture_video(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("gstlive") / "bars.ogv"
+    gst_ctypes.run_pipeline_to_eos(
+        f"videotestsrc num-buffers={NFRAMES} pattern=smpte ! "
+        f"video/x-raw,width={W},height={H},framerate={FPS}/1 ! "
+        f"theoraenc ! oggmux ! filesink location={out}"
+    )
+    assert out.stat().st_size > 0
+    return str(out)
+
+
+def _gray_frames(path, **kw):
+    return list(gst_ctypes.GstCtypesFrameReader(path, **kw).frames())
+
+
+def test_live_decode_counts_and_shape(fixture_video):
+    frames = _gray_frames(fixture_video)
+    assert len(frames) == NFRAMES
+    for f in frames:
+        assert f.shape == (H, W) and f.dtype == np.uint8
+
+
+def test_live_smpte_band_structure(fixture_video):
+    """The decoded pixels are the actual pattern, not garbage: SMPTE's
+    seven top bars have strictly decreasing luma left to right."""
+    f = _gray_frames(fixture_video)[0].astype(np.float64)
+    bands = [f[: H * 2 // 3, i * W // 7 : (i + 1) * W // 7].mean() for i in range(7)]
+    assert all(bands[i] > bands[i + 1] + 5 for i in range(6)), bands
+
+
+def test_live_determinism(fixture_video):
+    a = _gray_frames(fixture_video)
+    b = _gray_frames(fixture_video)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_live_fps_resample(fixture_video):
+    # videorate 24 -> 6 fps over 2 s: 12 frames (frame_iter.rs:59-76)
+    frames = _gray_frames(fixture_video, fps=(6, 1))
+    assert len(frames) == NFRAMES // 4
+
+
+def test_live_accurate_seek(fixture_video):
+    # flush+accurate 1 s seek into a 2 s clip leaves exactly 1 s
+    frames = _gray_frames(fixture_video, start_offset=1.0)
+    assert len(frames) == NFRAMES // 2
+
+
+def test_live_rgb(fixture_video):
+    reader = gst_ctypes.GstCtypesFrameReader(
+        fixture_video, grayscale=False
+    )
+    first = next(iter(reader.frames()))
+    assert first.shape == (H, W, 3) and first.dtype == np.uint8
+
+
+def test_live_partial_consumption_teardown(fixture_video):
+    """Abandoning the iterator mid-stream (the builder's take-16) tears
+    the pipeline down without hanging (frame_iter.rs:335-347)."""
+    it = gst_ctypes.GstCtypesFrameReader(fixture_video).frames()
+    got = [next(it) for _ in range(16)]
+    it.close()
+    assert len(got) == 16
+
+
+def test_live_error_on_garbage(tmp_path):
+    bad = tmp_path / "junk.ogv"
+    bad.write_bytes(b"\x00not a video\xff" * 1024)
+    with pytest.raises(VidProc):
+        _gray_frames(str(bad))
+
+
+def test_live_through_facade(fixture_video):
+    """`force_backend('gstreamer')` routes FrameReadCfg through the
+    ctypes binding when gi is absent (backend facade integration)."""
+    from vid_dup_finder_lib_tpu.ingest import backend as be
+
+    assert "gstreamer" in be.available_backends()
+    be.force_backend("gstreamer")
+    try:
+        cfg = be.FrameReadCfg.from_path(fixture_video)
+        cfg.set_fps((12, 1))
+        frames = list(cfg.spawn_gray())
+    finally:
+        be.force_backend(None)
+    assert len(frames) == NFRAMES // 2
+    assert frames[0].shape == (H, W)
+
+
+def test_ctypes_backend_is_not_auto_default():
+    """Without gi, the ctypes gstreamer backend must NOT preempt
+    ffmpeg/OpenCV in auto selection (minimal plugin sets cannot demux
+    mp4); it is listed last."""
+    from vid_dup_finder_lib_tpu.ingest import backend as be
+    from vid_dup_finder_lib_tpu.ingest.gstreamer_reader import (
+        available_kind,
+    )
+
+    if available_kind() != "ctypes":
+        pytest.skip("gi present; ordering rule not applicable")
+    avail = be.available_backends()
+    assert avail[-1] == "gstreamer"
+    if len(avail) > 1:
+        assert be._pick_backend() != "gstreamer"

@@ -22,10 +22,20 @@ from .probe import VideoInfo
 
 
 def available_backends() -> list[str]:
-    out = []
-    from .gstreamer_reader import available as gst_available
+    """Usable decode backends, preferred first.
 
-    if gst_available():
+    gstreamer-via-PyGObject leads (the reference's default backend — a
+    ``gi`` install implies a full distro plugin set); gstreamer via the
+    direct ctypes binding (``gst_ctypes.py``) is listed LAST because
+    minimal images ship only the base plugin set (no mp4/h264 demux
+    here), so it is a fallback / explicit ``force_backend`` choice
+    rather than the auto default.
+    """
+    out = []
+    from .gstreamer_reader import available_kind as gst_kind
+
+    kind = gst_kind()
+    if kind == "gi":
         out.append("gstreamer")  # reference's default backend
     if ffmpeg_available():
         out.append("ffmpeg")
@@ -35,6 +45,8 @@ def available_backends() -> list[str]:
         out.append("opencv")
     except ImportError:
         pass
+    if kind == "ctypes":
+        out.append("gstreamer")
     return out
 
 

@@ -3,11 +3,15 @@
 Equivalent of the reference's primary decode backend
 (``vid_frame_iter/src/frame_iter.rs:59-347``): a
 ``uridecodebin ! videorate ! capsfilter ! videoconvert ! appsink``
-pipeline with accurate seeking and fps resampling.  Requires PyGObject
-(``gi``) with the GStreamer plugins installed; `available()` reports
-whether this backend can be used (the CI image here has the gst C
-libraries but no Python bindings, so this stays dormant there and the
-facade falls back to ffmpeg/OpenCV).
+pipeline with accurate seeking and fps resampling.  Two bindings, same
+semantics:
+
+* PyGObject (``gi``) when installed — the full-desktop path;
+* a direct ctypes binding to the gst C libraries otherwise
+  (``gst_ctypes.py`` — the same libraries the reference binds via
+  gstreamer-rs), which makes this backend LIVE on images that ship
+  libgstreamer without Python bindings (like this CI image; live-path
+  tests in ``tests/test_gstreamer_live.py``).
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from ..errors import VidProc
 SAMPLE_TIMEOUT_SECS = 30  # frame_iter.rs:239 pull timeout
 
 
-def available() -> bool:
+def _gi_available() -> bool:
     try:
         import gi
 
@@ -34,6 +38,21 @@ def available() -> bool:
         return False
 
 
+def available_kind() -> str | None:
+    """Which binding the gstreamer backend would use: 'gi' | 'ctypes'."""
+    if _gi_available():
+        return "gi"
+    from . import gst_ctypes
+
+    if gst_ctypes.available():
+        return "ctypes"
+    return None
+
+
+def available() -> bool:
+    return available_kind() is not None
+
+
 @dataclass
 class GStreamerFrameReader:
     src_path: str
@@ -42,10 +61,22 @@ class GStreamerFrameReader:
     grayscale: bool = True
 
     def frames(self) -> Iterator[np.ndarray]:
-        if not available():
+        kind = available_kind()
+        if kind is None:
             raise VidProc(
-                "gstreamer backend unavailable (PyGObject not installed)"
+                "gstreamer backend unavailable (no PyGObject and the "
+                "gst C libraries did not load)"
             )
+        if kind == "ctypes":
+            from .gst_ctypes import GstCtypesFrameReader
+
+            yield from GstCtypesFrameReader(
+                self.src_path,
+                fps=self.fps,
+                start_offset=self.start_offset,
+                grayscale=self.grayscale,
+            ).frames()
+            return
         import gi
 
         gi.require_version("Gst", "1.0")
