@@ -127,6 +127,86 @@ def test_live_through_facade(fixture_video):
     assert frames[0].shape == (H, W)
 
 
+def test_live_media_info(fixture_video):
+    """gst preroll probe mirrors mediainfo_utils.rs:13-68: duration,
+    dimensions, frame rate — no ffprobe/OpenCV involved."""
+    duration, (w, h), fps = gst_ctypes.query_media_info(fixture_video)
+    assert (w, h) == (W, H)
+    assert fps == pytest.approx(FPS)
+    assert duration == pytest.approx(NFRAMES / FPS, abs=0.25)
+
+
+def test_live_probe_gst_tier(fixture_video, monkeypatch):
+    """VideoInfo falls through ffprobe (absent) and OpenCV (failing)
+    to the gst preroll tier."""
+    from vid_dup_finder_lib_tpu.errors import NotVideo
+    from vid_dup_finder_lib_tpu.ingest import probe
+
+    def boom(_):
+        raise NotVideo()
+
+    monkeypatch.setattr(probe, "ffprobe_available", lambda: False)
+    monkeypatch.setattr(probe.VideoInfo, "_from_opencv", staticmethod(boom))
+    info = probe.VideoInfo.new(fixture_video)
+    assert info.resolution == (W, H)
+    assert info.duration == pytest.approx(NFRAMES / FPS, abs=0.25)
+    assert info.file_size > 0
+
+
+def test_live_media_info_rejects_garbage(tmp_path):
+    bad = tmp_path / "junk.bin"
+    bad.write_bytes(b"\x13\x37" * 4096)
+    with pytest.raises(VidProc):
+        gst_ctypes.query_media_info(str(bad))
+
+
+def test_live_builder_e2e_groups(tmp_path):
+    """The PRIMARY-backend flow of the reference, end to end on real
+    gst decode: VideoHashBuilder (fps policy, letterbox, resize, 3D-DCT
+    sign hash) over theora videos, then search.  A rescaled re-encode
+    groups with its original; different content does not
+    (video_hash_builder.rs:214-223 + the example.rs assertion shape)."""
+    import vid_dup_finder_lib_tpu as vdf
+    from vid_dup_finder_lib_tpu.ingest import backend as be
+
+    def enc(name, filt=""):
+        out = tmp_path / name
+        gst_ctypes.run_pipeline_to_eos(
+            f"videotestsrc num-buffers=72 pattern=smpte ! "
+            f"video/x-raw,width={W},height={H},framerate={FPS}/1 ! "
+            f"{filt}theoraenc ! oggmux ! filesink location={out}"
+        )
+        return str(out)
+
+    orig = enc("bars.ogv")
+    rescaled = enc(
+        "bars_rescaled.ogv",
+        "videoscale ! video/x-raw,width=144,height=108 ! videoconvert ! ",
+    )
+    other = str(tmp_path / "ball.ogv")
+    gst_ctypes.run_pipeline_to_eos(
+        f"videotestsrc num-buffers=72 pattern=ball ! "
+        f"video/x-raw,width={W},height={H},framerate={FPS}/1 ! "
+        f"theoraenc ! oggmux ! filesink location={other}"
+    )
+
+    be.force_backend("gstreamer")
+    try:
+        hb = vdf.VideoHashBuilder()
+        hashes = [hb.hash(p) for p in (orig, rescaled, other)]
+    finally:
+        be.force_backend(None)
+    assert all(h.duration == 3 for h in hashes)
+    assert hashes[0].normalized_hamming_distance(hashes[1]) < 0.2
+    assert hashes[0].normalized_hamming_distance(hashes[2]) > 0.35
+    groups = vdf.search(hashes, vdf.DEFAULT_SEARCH_TOLERANCE)
+    assert len(groups) == 1
+    assert sorted(map(__import__("os").path.basename, groups[0].duplicates)) == [
+        "bars.ogv",
+        "bars_rescaled.ogv",
+    ]
+
+
 def test_ctypes_backend_is_not_auto_default():
     """Without gi, the ctypes gstreamer backend must NOT preempt
     ffmpeg/OpenCV in auto selection (minimal plugin sets cannot demux

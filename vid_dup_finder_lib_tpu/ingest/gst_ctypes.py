@@ -183,6 +183,21 @@ class _Lib:
             C.c_void_p,
             [C.c_void_p, C.c_uint64],
         )
+        self.try_pull_preroll = p(
+            self.app.gst_app_sink_try_pull_preroll,
+            C.c_void_p,
+            [C.c_void_p, C.c_uint64],
+        )
+        self.structure_get_fraction = p(
+            g.gst_structure_get_fraction,
+            C.c_int,
+            [
+                C.c_void_p,
+                C.c_char_p,
+                C.POINTER(C.c_int),
+                C.POINTER(C.c_int),
+            ],
+        )
         if self.glib is not None:
             self.g_error_free = p(
                 self.glib.g_error_free, None, [C.c_void_p]
@@ -344,6 +359,90 @@ def run_pipeline_to_eos(
             )
     finally:
         lib.set_state(pipe, _STATE_NULL)
+        lib.object_unref(bus)
+        lib.object_unref(pipe)
+
+
+def query_media_info(
+    src_path: str | os.PathLike,
+) -> tuple[float, tuple[int, int], float]:
+    """(duration_secs, (width, height), fps) via a PAUSED preroll.
+
+    The gst equivalent of the reference's Discoverer-based
+    ``mediainfo_utils::{duration,dimensions,frame_rate}``
+    (``vid_frame_iter/src/mediainfo_utils.rs:13-68``) — makes the
+    gstreamer backend self-contained for metadata (no ffprobe/OpenCV
+    needed).  Raises ``VidProc`` when the file cannot preroll (not a
+    video / no matching demuxer).  Duration may be 0.0 when the
+    container does not report one; rotation-tag dimension swap is an
+    ffprobe-tier feature only.
+    """
+    lib = _lib()
+    if lib is None:
+        raise VidProc("gstreamer ctypes backend unavailable")
+    uri = Path(os.fspath(src_path)).absolute().as_uri()
+    desc = (
+        f"uridecodebin uri={uri} ! videoconvert ! "
+        "appsink name=sink sync=false max-buffers=1 "
+        "caps=video/x-raw,format=GRAY8"
+    )
+    err = C.POINTER(_GError)()
+    pipe = lib.parse_launch(desc.encode(), C.byref(err))
+    if not pipe:
+        if err:
+            lib.g_error_free(err)
+        raise VidProc("gst pipeline: parse_launch failed")
+    sink = lib.bin_get_by_name(pipe, b"sink")
+    bus = lib.get_bus(pipe)
+    try:
+        if (
+            lib.set_state(pipe, _STATE_PAUSED) == _STATE_CHANGE_FAILURE
+            or lib.get_state(
+                pipe, None, None, PREROLL_TIMEOUT_SECS * GST_SECOND
+            )
+            == _STATE_CHANGE_FAILURE
+        ):
+            raise VidProc(
+                lib.pop_error_text(bus) or "gst preroll failed"
+            )
+        sample = lib.try_pull_preroll(
+            sink, SAMPLE_TIMEOUT_SECS * GST_SECOND
+        )
+        if not sample:
+            raise VidProc(
+                lib.pop_error_text(bus) or "gst preroll: no sample"
+            )
+        try:
+            st = lib.caps_get_structure(lib.sample_get_caps(sample), 0)
+            w = C.c_int()
+            h = C.c_int()
+            if not (
+                lib.structure_get_int(st, b"width", C.byref(w))
+                and lib.structure_get_int(st, b"height", C.byref(h))
+            ):
+                raise VidProc("gst caps missing dimensions")
+            num = C.c_int()
+            den = C.c_int()
+            fps = (
+                num.value / den.value
+                if lib.structure_get_fraction(
+                    st, b"framerate", C.byref(num), C.byref(den)
+                )
+                and den.value
+                else 0.0
+            )
+        finally:
+            lib.mini_object_unref(sample)
+        dur = C.c_int64(-1)
+        ok = lib.query_duration(pipe, _FORMAT_TIME, C.byref(dur))
+        duration = (
+            dur.value / GST_SECOND if ok and dur.value >= 0 else 0.0
+        )
+        return duration, (w.value, h.value), fps
+    finally:
+        lib.set_state(pipe, _STATE_NULL)
+        if sink:
+            lib.object_unref(sink)
         lib.object_unref(bus)
         lib.object_unref(pipe)
 

@@ -34,7 +34,12 @@ class VideoInfo:
     def new(src_path: str | os.PathLike) -> "VideoInfo":
         if ffprobe_available():
             return VideoInfo._from_ffprobe(src_path)
-        return VideoInfo._from_opencv(src_path)
+        try:
+            return VideoInfo._from_opencv(src_path)
+        except (NotVideo, ImportError):
+            # third tier: gst preroll probe (mediainfo_utils.rs:13-68)
+            # — covers gst-only formats and cv2-less installs
+            return VideoInfo._from_gst(src_path)
 
     # -- ffprobe backend --------------------------------------------------
 
@@ -126,6 +131,24 @@ class VideoInfo:
         finally:
             cap.release()
         return VideoInfo(duration, Path(path).stat().st_size, (width, height))
+
+
+    # -- gstreamer fallback --------------------------------------------------
+
+    @staticmethod
+    def _from_gst(src_path: str | os.PathLike) -> "VideoInfo":
+        from . import gst_ctypes
+
+        path = os.fspath(src_path)
+        if not os.path.isfile(path) or not gst_ctypes.available():
+            raise NotVideo()
+        try:
+            duration, (w, h), _fps = gst_ctypes.query_media_info(path)
+        except Exception:
+            raise NotVideo() from None
+        if w <= 0 or h <= 0:
+            raise NotVideo()
+        return VideoInfo(duration, Path(path).stat().st_size, (w, h))
 
 
 def is_video_file(src_path: str | os.PathLike) -> bool:
