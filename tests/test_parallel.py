@@ -465,6 +465,40 @@ def test_ring_pipelined_matches_host(mesh8, monkeypatch):
     assert len(hi) > 0
 
 
+def test_ring_default_window_derivation(mesh8, monkeypatch):
+    """With window_rows unset, the ring derives a sliding-window cap
+    from VDF_WINDOWED_THRESHOLD (threshold // 2 rows) instead of
+    building whole-shard ±1 operands — the round-3 ADVICE auto-path OOM
+    fix.  A threshold of 2048 on 2048-row shards must force 2 windows
+    per shard and still match the host sweep exactly."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.parallel import ring_pallas
+
+    monkeypatch.delenv("VDF_RING_WINDOW_ROWS", raising=False)
+    monkeypatch.setenv("VDF_WINDOWED_THRESHOLD", "2048")
+    rng = np.random.default_rng(41)
+    n = 16384
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    packed[:, -1] &= np.uint32(0xFF)
+    durs = np.sort(rng.integers(1000, 40000, n))
+    bounds = np.searchsorted(
+        durs, (durs * 1.1).astype(np.int64), side="right"
+    )
+    packed[5000] = packed[5003]
+    durs[5003] = durs[5000]
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    ri, rj = ring_pallas.banded_adjacency_ring(
+        packed, bounds, 350, mesh=mesh8
+    )
+    assert np.array_equal(hi, ri) and np.array_equal(hj, rj)
+    # the derivation actually windowed: threshold 2048 -> 1024-row
+    # windows -> 2 per 2048-row shard
+    assert ring_pallas.LAST_RING_PHASES["windows"] == 2
+    assert ring_pallas.LAST_RING_PHASES["window_rows"] == 1024
+
+
 def test_ring_device_resident_aligned_no_pad(mesh8):
     """A tile-aligned DEVICE-RESIDENT library (the IncrementalDeviceLibrary
     steady state: n a multiple of n_dev * TILE_M, so npad == n) takes the

@@ -642,7 +642,7 @@ def banded_adjacency_ring(
     cache_ops = n_win == 1
     ph = {"operands": 0.0, "dispatch": 0.0, "drain": 0.0, "phase_b": 0.0,
           "rotate": 0.0, "op_builds": 0, "op_reuses": 0, "batches": 0,
-          "steps": 0,
+          "steps": 0, "windows": n_win, "window_rows": w_rows,
           # host/h2d work before the step loop: metadata h2d, per-tile
           # metadata reductions, launch planning, jit retrieval
           "setup": time.perf_counter() - t_setup}
