@@ -17,6 +17,8 @@ Skipped wholesale where the gst C libraries are absent.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -201,7 +203,60 @@ def test_live_builder_e2e_groups(tmp_path):
     assert hashes[0].normalized_hamming_distance(hashes[2]) > 0.35
     groups = vdf.search(hashes, vdf.DEFAULT_SEARCH_TOLERANCE)
     assert len(groups) == 1
-    assert sorted(map(__import__("os").path.basename, groups[0].duplicates)) == [
+    assert sorted(map(os.path.basename, groups[0].duplicates)) == [
+        "bars.ogv",
+        "bars_rescaled.ogv",
+    ]
+
+
+def test_live_cli_decode_backend_flag(tmp_path):
+    """Full CLI run with --decode-backend gstreamer over theora-only
+    videos: walk -> cache -> batched hash -> search -> JSON output.
+    The runtime equivalent of rebuilding the reference with its
+    gstreamer_backend cargo feature."""
+    import json
+
+    from vid_dup_finder_lib_tpu.app import run_app
+    from vid_dup_finder_lib_tpu.ingest import backend as be
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+
+    def enc(name, filt=""):
+        gst_ctypes.run_pipeline_to_eos(
+            f"videotestsrc num-buffers=72 pattern=smpte ! "
+            f"video/x-raw,width={W},height={H},framerate={FPS}/1 ! "
+            f"{filt}theoraenc ! oggmux ! filesink location={vids / name}"
+        )
+
+    enc("bars.ogv")
+    enc(
+        "bars_rescaled.ogv",
+        "videoscale ! video/x-raw,width=144,height=108 ! videoconvert ! ",
+    )
+    gst_ctypes.run_pipeline_to_eos(
+        f"videotestsrc num-buffers=72 pattern=ball ! "
+        f"video/x-raw,width={W},height={H},framerate={FPS}/1 ! "
+        f"theoraenc ! oggmux ! filesink location={vids / 'ball.ogv'}"
+    )
+
+    out = tmp_path / "out.json"
+    import contextlib
+
+    with open(out, "w") as fh, contextlib.redirect_stdout(fh):
+        rc = run_app(
+            [
+                "--files", str(vids),
+                "--decode-backend", "gstreamer",
+                "--output-format", "json",
+                "--cache-file", str(tmp_path / "cache.json"),
+            ]
+        )
+    assert rc == 0
+    assert be._FORCED_BACKEND is None  # restored after the run
+    groups = json.loads(out.read_text())
+    assert len(groups) == 1
+    assert sorted(map(os.path.basename, groups[0]["duplicates"])) == [
         "bars.ogv",
         "bars_rescaled.ogv",
     ]

@@ -91,6 +91,9 @@ class HashCfg:
     cropdetect: Cropdetect = Cropdetect.NONE  # CLI default (arg_parse.rs:543)
     skip_forward: float = 15.0
     duration: float = 10.0
+    # runtime equivalent of the reference's compile-time backend switch
+    # (ffmpeg_gst_wrapper/Cargo.toml:13-15); "auto" = first available
+    decode_backend: str = "auto"
 
 
 @dataclass(frozen=True)

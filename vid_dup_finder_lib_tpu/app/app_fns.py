@@ -63,6 +63,11 @@ def run_app(argv: list[str] | None = None) -> int:
     except Exception as e:  # noqa: BLE001
         log.error("unexpected error: %r", e)
         return 1
+    finally:
+        if cfg.hash_cfg.decode_backend != "auto":
+            from ..ingest.backend import force_backend
+
+            force_backend(None)  # embedders may call run_app repeatedly
 
 
 def _raise_fd_limit() -> None:
@@ -122,6 +127,13 @@ def _refs_pattern(cfg: AppCfg) -> FilenamePattern:
 def run_app_inner(cfg: AppCfg) -> None:
     _raise_fd_limit()
     _validate_dirs(cfg)
+
+    if cfg.hash_cfg.decode_backend != "auto":
+        # pin the decode backend BEFORE the cache opens: the metadata
+        # sidecar records the active backend as a hash-affecting setting
+        from ..ingest.backend import force_backend
+
+        force_backend(cfg.hash_cfg.decode_backend)
 
     opts = CreationOptions(
         skip_forward_amount=cfg.hash_cfg.skip_forward,

@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cropdetect", default="none",
                    choices=["none", "letterbox", "motion"],
                    help="Letterbox removal before hashing (default none).")
+    p.add_argument("--decode-backend", default="auto",
+                   choices=["auto", "gstreamer", "ffmpeg", "opencv"],
+                   help="Decode backend (runtime equivalent of the "
+                        "reference's compile-time gstreamer_backend "
+                        "feature switch; default: first available).")
     p.add_argument("--skip-forward", default="15", metavar="SECS",
                    help="Seconds to skip past intros before hashing.")
     p.add_argument("--hash-duration", default="10", metavar="SECS",
@@ -239,6 +244,7 @@ def parse_args(argv: list[str] | None = None) -> AppCfg:
             }[ns.cropdetect],
             skip_forward=float(ns.skip_forward),
             duration=float(ns.hash_duration),
+            decode_backend=ns.decode_backend,
         ),
         output_cfg=OutputCfg(
             text=text,
