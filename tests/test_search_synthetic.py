@@ -459,6 +459,37 @@ def test_dense_adjacency_stress_exact_groups_and_replay_time():
     assert t_replay < 5.0, (t_replay, t_adj, n_pairs)
 
 
+def test_auto_backend_prefers_native_on_cpu(monkeypatch):
+    """Off-accelerator, backend='auto' must take the C++ XOR+POPCNT
+    sweep, not the XLA-CPU tile kernel (which scalarizes the int8
+    matmul: measured ~5e5 comps/s vs native's 8.8e7)."""
+    from vid_dup_finder_lib_tpu import native as native_mod
+    from vid_dup_finder_lib_tpu.ops import hamming
+
+    if not native_mod.available():
+        pytest.skip("no C++ toolchain")
+    calls = []
+    real = native_mod.banded_adjacency_native
+
+    def spy(packed64, bounds, tol, **kw):
+        calls.append(packed64.shape[0])
+        return real(packed64, bounds, tol, **kw)
+
+    monkeypatch.setattr(hamming, "_on_tpu", lambda: False)
+    monkeypatch.setattr(hamming, "_on_accelerator", lambda: False)
+    monkeypatch.setattr(native_mod, "banded_adjacency_native", spy)
+    rng = np.random.default_rng(71)
+    n = 256
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    bounds = np.full(n, n, dtype=np.int64)
+    ii, jj = hamming.banded_adjacency(packed, bounds, 350, backend="auto")
+    assert calls == [n]
+    hi, hj = hamming.banded_adjacency(packed, bounds, 350, backend="host")
+    assert np.array_equal(ii, hi) and np.array_equal(jj, hj)
+
+
 def test_env_search_backend_override(monkeypatch):
     """VDF_SEARCH_BACKEND redirects backend='auto' (production knob that
     keeps the reference-parity CLI flag surface untouched)."""

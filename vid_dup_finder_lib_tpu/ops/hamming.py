@@ -390,6 +390,16 @@ def _on_tpu() -> bool:
         return False
 
 
+def _on_accelerator() -> bool:
+    """True when jax's default device is a real accelerator (not XLA-CPU)."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def banded_adjacency(
     packed: np.ndarray,
     bounds: np.ndarray,
@@ -480,11 +490,14 @@ def banded_adjacency(
                     packed, bounds, tolerance_int, state=st
                 )
             return banded_adjacency_pallas(packed, bounds, tolerance_int)
-        return banded_adjacency_device(packed, bounds, tolerance_int)
+        if _on_accelerator():
+            # non-TPU accelerator (e.g. GPU): the XLA tile kernel
+            return banded_adjacency_device(packed, bounds, tolerance_int)
     except Exception:
-        # the NumPy fallback unpacks 4 KB/hash and runs ~500x slower:
-        # viable for small libraries (no jax, CI), a silent multi-hour
-        # hang at millions — surface the device error there instead
+        # the NumPy fallback unpacks 4 KB/hash and runs ~500x slower
+        # than the device paths: viable for small libraries (no jax,
+        # CI), a silent multi-hour hang at millions — surface the
+        # device error there instead
         if packed.shape[0] > 2_000_000:
             raise
         import logging
@@ -494,3 +507,25 @@ def banded_adjacency(
             exc_info=True,
         )
         return banded_adjacency_host(packed, bounds, tolerance_int)
+    # CPU-only auto: XLA-CPU scalarizes the int8 matmul / popcount tile
+    # kernel (~5e5 comps/s measured warm) — both the C++ XOR+POPCNT
+    # sweep (8.8e7/s, single thread) and the blocked-NumPy
+    # np.bitwise_count sweep (2.2e6/s) beat it by orders of magnitude
+    # on this host, so the no-accelerator path never touches XLA
+    try:
+        from ..native import available as _native_ok
+        from ..native import banded_adjacency_native
+
+        if _native_ok():
+            packed64 = np.ascontiguousarray(packed).view(np.uint64)
+            return banded_adjacency_native(
+                packed64, bounds, tolerance_int
+            )
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native search failed; falling back to the NumPy host sweep",
+            exc_info=True,
+        )
+    return banded_adjacency_host(packed, bounds, tolerance_int)
