@@ -310,8 +310,16 @@ class Search:
         windows_all = [self._duration_slice(refs[k].duration) for k in order]
         work = sum(w[1] - w[0] for w in windows_all)
         resident = self._cands_dev is not None
+        # CPU-only hosts stay on the blocked host-BLAS branch below: the
+        # XLA-CPU windowed kernel measured 2x slower at 500x200k (24.6 s
+        # vs 12.0).  A threshold of 0 (tests, VDF_REFS_DEVICE_THRESHOLD=0)
+        # still forces the device path anywhere.
+        from .ops.hamming import _on_accelerator
+
         if resident or (
-            work >= _DEVICE_REFS_WORK_THRESHOLD and _device_available()
+            work >= _DEVICE_REFS_WORK_THRESHOLD
+            and _device_available()
+            and (_on_accelerator() or _DEVICE_REFS_WORK_THRESHOLD <= 0)
         ):
             ref_mat = hashes_to_matrix([refs[k] for k in order])
             lo = np.array([w[0] for w in windows_all], np.int64)
