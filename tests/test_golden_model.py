@@ -57,17 +57,34 @@ def test_resize_weights_rows_sum_to_one():
 
 
 def test_crop_resize_vs_pillow():
-    """PIL's Image.resize(LANCZOS) uses the same convolution construction;
-    agree within 2 gray levels (different per-axis rounding)."""
+    """Independent-oracle bound for the fixed-point resize (PARITY
+    deviation 1's residual caveat): fast_image_resize's u8 path is a
+    port of Pillow's LANCZOS fixed-point resampler, differing only in
+    coefficient precision (i16 Normalizer16 vs Pillow's 22-bit i32).
+    Our reconstruction must therefore sit within ONE gray level of
+    Pillow on a small fraction of pixels, across source geometries —
+    anything larger would indicate a wrong quantization rule (wrong
+    precision search, per-window normalization, rounding seed), which
+    no self-generated oracle could catch."""
     from PIL import Image
 
     rng = np.random.default_rng(2)
-    frame = rng.integers(0, 256, (123, 217), dtype=np.uint8)
-    ours = crop_resize_golden(frame)
-    theirs = np.asarray(
-        Image.fromarray(frame).resize((16, 16), Image.LANCZOS)
+    for h, w in [(123, 217), (120, 160), (480, 640), (720, 1280),
+                 (33, 47), (1080, 1920)]:
+        frame = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ours = crop_resize_golden(frame)
+        theirs = np.asarray(
+            Image.fromarray(frame).resize((16, 16), Image.LANCZOS)
+        )
+        d = np.abs(ours.astype(int) - theirs.astype(int))
+        assert d.max() <= 1, (h, w, d.max())
+        assert (d > 0).mean() <= 0.05, (h, w, (d > 0).mean())
+    # identity geometry: both fixed-point pipelines are exact
+    frame = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    assert np.array_equal(
+        crop_resize_golden(frame),
+        np.asarray(Image.fromarray(frame).resize((16, 16), Image.LANCZOS)),
     )
-    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
 
 
 def test_crop_resize_crop_window():

@@ -19,9 +19,16 @@ This is the parity oracle for every device kernel: crop+resize -> center ->
   and ``tests/oracles/reference_vids_hashes.json`` freezes hashes produced
   by THIS code, so a wrong quantization rule (e.g. the Normalizer16
   precision search range, or per-window vs per-axis normalization) would
-  not be caught by CI.  Before treating bit parity with the reference
-  binary as established, regenerate a fixture of resized cubes/hashes
-  with the real crate offline and commit it as an independent oracle.
+  not be caught by a self-generated oracle.  Partial independent check
+  (round 4): Pillow's LANCZOS u8 resampler — the implementation the
+  crate's u8 path was ported from, differing only in coefficient
+  precision (i16 vs 22-bit i32) — agrees within 1 gray level on <= 3%
+  of pixels across source geometries
+  (tests/test_golden_model.py::test_crop_resize_vs_pillow), which a
+  wrong quantization rule would exceed.  Before treating bit parity
+  with the reference binary as established, regenerate a fixture of
+  resized cubes/hashes with the real crate offline and commit it as an
+  independent oracle.
 * DCT: unnormalized DCT-II along each axis of the 16x16x16 cube
   (``raw_dct_ops.rs:107-142``); only coefficient *signs* survive, so any
   uniform positive per-axis scale is parity-equivalent.
