@@ -1,15 +1,18 @@
 """Real-content parity evidence: the reference's own bundled videos.
 
 The closest achievable step to ground-truth parity without a Rust
-toolchain (VERDICT round 1, next-step 3): hash the 4 OpenCV-decodable
-videos bundled with the reference (cat.2/dog.2 are AV1 — undecodable on
-this machine) with default options and assert
+toolchain (VERDICT round 1, next-step 3): hash the videos bundled with
+the reference with default options and assert
 
 * the duplicate-group behavior the reference example asserts
-  (``vid_dup_finder_lib/examples/example.rs:77-82``: the cat vids group
-  together, the dog vids group together, nothing crosses), and
+  (``vid_dup_finder_lib/examples/example.rs:77-82``: EXACTLY two groups
+  of three — cat.{1,2,3} and dog.{1,2,3}).  cat.2/dog.2 are AV1, which
+  no stock decoder in this image handles; they decode through the
+  in-repo mp4 demux + dav1d ctypes path (``ingest/av1_reader.py``), so
+  with dav1d present the FULL 6-video example runs; without it the
+  4-video subset asserts the same shape at 2x2, and
 * bit-exact reproduction of the hashes frozen in
-  ``tests/data/reference_vids_hashes.json`` — the cross-round
+  ``tests/oracles/reference_vids_hashes.json`` — the cross-round
   regression oracle for the full decode->crop->resize->DCT pipeline on
   real content.
 """
@@ -22,7 +25,8 @@ import pytest
 from vid_dup_finder_lib_tpu.video_hash import VideoHash
 
 _REF_VIDS = "/root/reference/vid_dup_finder_lib/examples/vids"
-_DECODABLE = ["cat.1.mp4", "cat.3.webm", "dog.1.mp4", "dog.3.webm"]
+_CV_DECODABLE = ["cat.1.mp4", "cat.3.webm", "dog.1.mp4", "dog.3.webm"]
+_AV1 = ["cat.2.mp4", "dog.2.mp4"]
 _ORACLE = os.path.join(os.path.dirname(__file__), "oracles", "reference_vids_hashes.json")
 
 pytestmark = pytest.mark.skipif(
@@ -30,16 +34,24 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _have_av1() -> bool:
+    from vid_dup_finder_lib_tpu.ingest.av1_reader import can_read
+
+    return can_read(os.path.join(_REF_VIDS, _AV1[0]))
+
+
 @pytest.fixture(scope="module")
 def ref_hashes():
     from vid_dup_finder_lib_tpu.models.builder import VideoHashBuilder
 
+    vids = _CV_DECODABLE + (_AV1 if _have_av1() else [])
     hb = VideoHashBuilder()
-    return {v: hb.hash(os.path.join(_REF_VIDS, v)) for v in _DECODABLE}
+    return {v: hb.hash(os.path.join(_REF_VIDS, v)) for v in vids}
 
 
 def test_reference_vids_group_like_the_reference_example(ref_hashes):
-    """example.rs:77-82: one all-cat group, one all-dog group."""
+    """example.rs:77-82: one all-cat group, one all-dog group — the
+    full two-groups-of-THREE assertion when AV1 decode is available."""
     import vid_dup_finder_lib_tpu as vdf
 
     groups = vdf.search(list(ref_hashes.values()))
@@ -47,20 +59,30 @@ def test_reference_vids_group_like_the_reference_example(ref_hashes):
         tuple(sorted(os.path.basename(p) for p in g.contained_paths()))
         for g in groups
     )
-    assert names == [
-        ("cat.1.mp4", "cat.3.webm"),
-        ("dog.1.mp4", "dog.3.webm"),
-    ]
+    if len(ref_hashes) == 6:
+        assert names == [
+            ("cat.1.mp4", "cat.2.mp4", "cat.3.webm"),
+            ("dog.1.mp4", "dog.2.mp4", "dog.3.webm"),
+        ]
+    else:
+        assert names == [
+            ("cat.1.mp4", "cat.3.webm"),
+            ("dog.1.mp4", "dog.3.webm"),
+        ]
 
 
 def test_reference_vids_distances(ref_hashes):
-    """Intra-pair distances are far under tolerance; cross-pairs far over
-    (the separation the reference's default tolerance relies on)."""
+    """Intra-group distances are far under tolerance; cross-group far
+    over (the separation the reference's default tolerance relies on)."""
     hs = ref_hashes
-    for a, b in [("cat.1.mp4", "cat.3.webm"), ("dog.1.mp4", "dog.3.webm")]:
-        assert hs[a].normalized_hamming_distance(hs[b]) < 0.10
-    for a in ("cat.1.mp4", "cat.3.webm"):
-        for b in ("dog.1.mp4", "dog.3.webm"):
+    cats = [v for v in hs if v.startswith("cat")]
+    dogs = [v for v in hs if v.startswith("dog")]
+    for grp in (cats, dogs):
+        for i, a in enumerate(grp):
+            for b in grp[i + 1 :]:
+                assert hs[a].normalized_hamming_distance(hs[b]) < 0.10
+    for a in cats:
+        for b in dogs:
             assert hs[a].normalized_hamming_distance(hs[b]) > 0.40
 
 
@@ -84,7 +106,7 @@ def test_resize_lsb_sensitivity_on_real_content(ref_hashes):
     rng = np.random.default_rng(17)
     originals = {}
     perturbed = {}
-    for v in _DECODABLE:
+    for v in _CV_DECODABLE:
         cube, dur = prepare_frames(
             os.path.join(_REF_VIDS, v), CreationOptions()
         )
@@ -102,7 +124,7 @@ def test_resize_lsb_sensitivity_on_real_content(ref_hashes):
             )
         perturbed[v] = variants
 
-    for v in _DECODABLE:
+    for v in _CV_DECODABLE:
         for p in perturbed[v]:
             # +/-1 on every pixel flips only near-zero DCT signs
             assert originals[v].normalized_hamming_distance(p) < 0.15

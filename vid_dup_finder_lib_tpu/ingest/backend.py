@@ -127,12 +127,26 @@ class FrameReadCfg:
                 grayscale=grayscale,
             )
         elif backend == "opencv":
-            reader = OpenCvFrameReader(
-                self.src_path,
-                fps=self.fps,
-                start_offset=self.start_offset or 0.0,
-                grayscale=grayscale,
-            )
+            # AV1-in-mp4 delegation: OpenCV's bundled ffmpeg has no AV1
+            # software decoder (the reference's bundled cat.2/dog.2 fail
+            # with a hardware-accel error), but libdav1d can — sniff and
+            # route so AV1 ingest needs no configuration
+            from . import av1_reader
+
+            if av1_reader.can_read(self.src_path):
+                reader = av1_reader.Av1FrameReader(
+                    self.src_path,
+                    fps=self.fps,
+                    start_offset=self.start_offset or 0.0,
+                    grayscale=grayscale,
+                )
+            else:
+                reader = OpenCvFrameReader(
+                    self.src_path,
+                    fps=self.fps,
+                    start_offset=self.start_offset or 0.0,
+                    grayscale=grayscale,
+                )
         else:
             raise VidProc(f"unknown decode backend {backend!r}")
         return reader.frames()
