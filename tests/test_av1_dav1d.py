@@ -53,6 +53,55 @@ def test_sniff():
     assert can_read(_CAT2)
 
 
+def test_mp4_multi_chunk_stsc_layout(tmp_path):
+    """The reference AV1 files are single-chunk; pin the general stsc
+    run expansion on a synthetic multi-chunk file: run (first_chunk=1,
+    2/chunk) then (first_chunk=2, 1/chunk) over 4 chunks."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+    def full(typ, ver_flags, payload):
+        return box(typ, struct.pack(">I", ver_flags) + payload)
+
+    sizes = [10, 20, 30, 40, 50]
+    stsz = full(
+        b"stsz", 0, struct.pack(">II", 0, 5) + struct.pack(">5I", *sizes)
+    )
+    stco = full(
+        b"stco",
+        0,
+        struct.pack(">I", 4) + struct.pack(">4I", 1000, 2000, 3000, 4000),
+    )
+    stsc = full(
+        b"stsc",
+        0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 1, 1),
+    )
+    stts = full(b"stts", 0, struct.pack(">I", 1) + struct.pack(">II", 5, 512))
+    av01 = box(
+        b"av01", b"\x00" * 24 + struct.pack(">HH", 64, 48) + b"\x00" * 50
+    )
+    stsd = full(b"stsd", 0, struct.pack(">I", 1) + av01)
+    stbl = box(b"stbl", stsd + stts + stsz + stco + stsc)
+    hdlr = full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    mdhd = full(b"mdhd", 0, struct.pack(">IIII", 0, 0, 12800, 2560))
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    moov = box(b"moov", box(b"trak", mdia))
+    p = tmp_path / "synth.mp4"
+    p.write_bytes(box(b"ftyp", b"isom\x00\x00\x02\x00isomav01") + moov)
+
+    t = mp4_av1.parse_av1_mp4(str(p))
+    assert (t.width, t.height) == (64, 48)
+    assert t.fps == pytest.approx(25.0)
+    assert t.sample_spans == [
+        (1000, 10), (1010, 20), (2000, 30), (3000, 40), (4000, 50),
+    ]
+
+
 def test_sniff_rejects_garbage(tmp_path):
     p = tmp_path / "junk.mp4"
     p.write_bytes(b"\x00\x00\x00\x08ftypgarbage" * 100)
