@@ -28,11 +28,22 @@ def main() -> None:
             if f.split(".")[-1].lower() in ("mp4", "mkv", "webm", "avi")
         )
     else:
-        from tests.fixtures import make_fixture_videos
+        # prefer the reference's own bundled videos (the exact inputs of
+        # example.rs — the AV1 pair decodes via ingest/av1_reader);
+        # generated fixtures otherwise
+        ref_vids = "/root/reference/vid_dup_finder_lib/examples/vids"
+        if os.path.isdir(ref_vids):
+            paths = sorted(
+                os.path.join(ref_vids, f) for f in os.listdir(ref_vids)
+            )
+        else:
+            from tests.fixtures import make_fixture_videos
 
-        paths = make_fixture_videos(
-            os.path.join(os.path.dirname(__file__), "..", "tests", "data")
-        )
+            paths = make_fixture_videos(
+                os.path.join(
+                    os.path.dirname(__file__), "..", "tests", "data"
+                )
+            )
 
     # the batched device pipeline; VideoHashBuilder().hash(p) is the
     # one-at-a-time equivalent
