@@ -220,4 +220,8 @@ def decode_frames(
             lib.dav1d_picture_unref(pic)
             yield frame
     finally:
+        # a consumer abandoning the iterator mid-sample (the reader's
+        # take-N path) leaves a partially-consumed payload ref behind —
+        # unref is a no-op when the struct is empty/zeroed
+        lib.dav1d_data_unref(data)
         lib.dav1d_close(C.byref(ctx))
