@@ -170,6 +170,25 @@ def test_facade_routes_av1_through_opencv_backend():
     assert first.shape == (144, 256)
 
 
+def test_probe_av1_container_tier(monkeypatch):
+    """VideoInfo's fourth tier reads duration/dims from the mp4
+    container when ffprobe, OpenCV, and gst are all unavailable."""
+    from vid_dup_finder_lib_tpu.errors import NotVideo
+    from vid_dup_finder_lib_tpu.ingest import probe
+
+    def boom(_):
+        raise NotVideo()
+
+    monkeypatch.setattr(probe, "ffprobe_available", lambda: False)
+    monkeypatch.setattr(
+        probe.VideoInfo, "_from_opencv", staticmethod(boom)
+    )
+    monkeypatch.setattr(probe.VideoInfo, "_from_gst", staticmethod(boom))
+    info = probe.VideoInfo.new(_CAT2)
+    assert info.resolution == (256, 144)
+    assert info.duration == pytest.approx(44.96, abs=0.01)
+
+
 def test_decoder_yields_nothing_for_non_av1_bytes():
     """Garbage OBUs either error or decode to zero frames — never to
     silent wrong pictures (the ABI validation would catch a mismatched

@@ -37,9 +37,16 @@ class VideoInfo:
         try:
             return VideoInfo._from_opencv(src_path)
         except (NotVideo, ImportError):
+            pass
+        try:
             # third tier: gst preroll probe (mediainfo_utils.rs:13-68)
             # — covers gst-only formats and cv2-less installs
             return VideoInfo._from_gst(src_path)
+        except NotVideo:
+            # fourth tier: AV1-in-mp4 container metadata (the in-repo
+            # demuxer) — AV1 files on installs with neither cv2 nor an
+            # AV1-capable gst plugin set
+            return VideoInfo._from_av1_mp4(src_path)
 
     # -- ffprobe backend --------------------------------------------------
 
@@ -149,6 +156,24 @@ class VideoInfo:
         if w <= 0 or h <= 0:
             raise NotVideo()
         return VideoInfo(duration, Path(path).stat().st_size, (w, h))
+
+
+    # -- AV1 mp4 container fallback ------------------------------------------
+
+    @staticmethod
+    def _from_av1_mp4(src_path: str | os.PathLike) -> "VideoInfo":
+        from . import mp4_av1
+
+        path = os.fspath(src_path)
+        if not os.path.isfile(path):
+            raise NotVideo()
+        try:
+            t = mp4_av1.parse_av1_mp4(path)
+        except Exception:
+            raise NotVideo() from None
+        return VideoInfo(
+            t.duration, Path(path).stat().st_size, (t.width, t.height)
+        )
 
 
 def is_video_file(src_path: str | os.PathLike) -> bool:
