@@ -108,6 +108,64 @@ def test_sniff_rejects_garbage(tmp_path):
     assert not mp4_av1.is_av1_mp4(str(p))
 
 
+def test_parse_malformed_tables_raise_vidproc(tmp_path):
+    """An adversarial stsz count past the buffer must surface as
+    VidProc (builder error-caching depends on it), not struct.error."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+    def full(typ, vf, payload):
+        return box(typ, struct.pack(">I", vf) + payload)
+
+    stsz = full(b"stsz", 0, struct.pack(">II", 0, 10**9))
+    av01 = box(
+        b"av01", b"\x00" * 24 + struct.pack(">HH", 64, 48) + b"\x00" * 50
+    )
+    stsd = full(b"stsd", 0, struct.pack(">I", 1) + av01)
+    stts = full(b"stts", 0, struct.pack(">I", 1) + struct.pack(">II", 5, 512))
+    stbl = box(b"stbl", stsd + stts + stsz)
+    hdlr = full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    mdhd = full(b"mdhd", 0, struct.pack(">IIII", 0, 0, 12800, 2560))
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    p = tmp_path / "adv.mp4"
+    p.write_bytes(box(b"ftyp", b"isom") + box(b"moov", box(b"trak", mdia)))
+    with pytest.raises(VidProc):
+        mp4_av1.parse_av1_mp4(str(p))
+    assert not mp4_av1.is_av1_mp4(str(p))
+
+
+def test_parser_fuzz_never_crashes(tmp_path):
+    """Random box soup and bit-flipped real files only ever raise
+    VidProc (300-case sweep ran during development; a quick seeded
+    subset stays in CI)."""
+    rng = np.random.default_rng(7)
+    p = tmp_path / "fuzz.mp4"
+    for _ in range(40):
+        buf = bytearray(
+            rng.integers(0, 256, int(rng.integers(16, 2048)), dtype=np.uint8)
+            .tobytes()
+        )
+        buf[4:8] = b"ftyp"
+        p.write_bytes(bytes(buf))
+        mp4_av1.is_av1_mp4(str(p))  # bool, never raises
+        try:
+            mp4_av1.parse_av1_mp4(str(p))
+        except VidProc:
+            pass
+    real = open(_CAT2, "rb").read()
+    for _ in range(15):
+        b = bytearray(real)
+        for _ in range(20):
+            b[int(rng.integers(len(b)))] = int(rng.integers(256))
+        p.write_bytes(bytes(b))
+        try:
+            mp4_av1.parse_av1_mp4(str(p))
+        except VidProc:
+            pass
+
+
 def test_full_decode_count_and_content():
     frames = list(Av1FrameReader(_CAT2).frames())
     assert len(frames) == 1125

@@ -94,6 +94,18 @@ def parse_av1_mp4(src_path: str | os.PathLike) -> Av1Track:
     """
     with open(src_path, "rb") as fh:
         buf = fh.read()
+    try:
+        return _parse_av1_tracks(buf)
+    except VidProc:
+        raise
+    except (struct.error, IndexError, ValueError, OverflowError) as e:
+        # malformed tables (e.g. an stsz count past the buffer) must
+        # surface as the package's decode error, not a struct crash —
+        # builder error-caching depends on it
+        raise VidProc(f"mp4: malformed container ({e})") from None
+
+
+def _parse_av1_tracks(buf: bytes) -> Av1Track:
     moov = _find1(buf, 0, len(buf), [b"moov"])
     if moov is None:
         raise VidProc("mp4: no moov box")
