@@ -490,6 +490,37 @@ def test_auto_backend_prefers_native_on_cpu(monkeypatch):
     assert np.array_equal(ii, hi) and np.array_equal(jj, hj)
 
 
+def test_refs_native_windowed_matches_blas(monkeypatch):
+    """The CPU-only batched refs path (native AVX-512 windowed sweep)
+    must return exactly the host-BLAS branch's results — including the
+    matched-filter and per-ref ascending candidate order."""
+    from vid_dup_finder_lib_tpu import native as native_mod
+    from vid_dup_finder_lib_tpu.search import Search
+
+    if not native_mod.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(73)
+    n, r = 3000, 64
+    cands = _named([VideoHash.random_hash(rng) for _ in range(n)])
+    durs = np.sort(rng.integers(100, 1000, n))
+    cands = [h.with_duration(int(d)) for h, d in zip(cands, durs)]
+    refs = []
+    for i in range(r):
+        k = int(rng.integers(n))
+        refs.append(
+            cands[k]
+            .hash_with_spatial_distance(int(rng.integers(0, 500)), rng)
+            .with_src_path(f"/r/{i}.mp4")
+        )
+    s = Search(cands)
+    s.matched[rng.integers(0, n, 50)] = True  # exercise the filter
+    a = s.search_with_references_batched(refs, 0.35)
+    monkeypatch.setenv("VDF_REFS_NATIVE", "0")
+    b = s.search_with_references_batched(refs, 0.35)
+    assert a == b
+    assert sum(len(x) for x in a) > 0
+
+
 def test_env_search_backend_override(monkeypatch):
     """VDF_SEARCH_BACKEND redirects backend='auto' (production knob that
     keeps the reference-parity CLI flag surface untouched)."""

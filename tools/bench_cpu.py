@@ -93,12 +93,15 @@ def main() -> None:
             "purpose - the reference-shaped baseline",
         )
 
-    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    if comps <= 2_000_000_000:  # the NumPy sweep runs ~3.5e6 comps/s
+        from vid_dup_finder_lib_tpu.ops.hamming import (
+            banded_adjacency_host,
+        )
 
-    t0 = time.time()
-    ii, jj = banded_adjacency_host(packed, bounds, TOLERANCE_INT)
-    emit("cpu_host_numpy", time.time() - t0, pairs=len(ii))
-    check_pairs(ii, jj)
+        t0 = time.time()
+        ii, jj = banded_adjacency_host(packed, bounds, TOLERANCE_INT)
+        emit("cpu_host_numpy", time.time() - t0, pairs=len(ii))
+        check_pairs(ii, jj)
 
     # public-API e2e (objects -> groups) on the auto backend
     from vid_dup_finder_lib_tpu.search import Search

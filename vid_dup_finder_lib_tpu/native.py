@@ -75,6 +75,14 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_uint32, ctypes.c_int,
         ]
+        lib.vdf_refs_windowed.restype = ctypes.c_int64
+        lib.vdf_refs_windowed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -108,6 +116,44 @@ def banded_adjacency_native(
         if found <= cap:
             break
         cap = int(found) + 1024  # retry with exact capacity
+    pairs = out[: min(found, cap)]
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    pairs = pairs[order]
+    return pairs[:, 0].copy(), pairs[:, 1].copy()
+
+
+def refs_windowed_native(
+    refs_u64: np.ndarray,
+    cands_u64: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    tolerance_int: int,
+    n_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native windowed refs-vs-candidates sweep: all pairs (i, j) with
+    lo[i] <= j < min(hi[i], n) and hamming <= tolerance_int, in
+    lexicographic order (the search_with_references batched path on
+    CPU-only hosts)."""
+    lib = get_lib()
+    assert lib is not None, "native library unavailable"
+    refs_u64 = np.ascontiguousarray(refs_u64, dtype=np.uint64)
+    cands_u64 = np.ascontiguousarray(cands_u64, dtype=np.uint64)
+    assert refs_u64.shape[1] == 16 and cands_u64.shape[1] == 16
+    r, n = refs_u64.shape[0], cands_u64.shape[0]
+    lo64 = np.ascontiguousarray(lo, dtype=np.int64)
+    hi64 = np.ascontiguousarray(hi, dtype=np.int64)
+
+    cap = 1 << 16
+    while True:
+        out = np.empty((cap, 2), dtype=np.int64)
+        found = lib.vdf_refs_windowed(
+            refs_u64.ctypes.data, r, cands_u64.ctypes.data, n,
+            lo64.ctypes.data, hi64.ctypes.data,
+            tolerance_int, out.ctypes.data, cap, n_threads,
+        )
+        if found <= cap:
+            break
+        cap = int(found) + 1024
     pairs = out[: min(found, cap)]
     order = np.lexsort((pairs[:, 1], pairs[:, 0]))
     pairs = pairs[order]

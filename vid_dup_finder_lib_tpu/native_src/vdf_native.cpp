@@ -142,6 +142,78 @@ int64_t vdf_banded_adjacency(const uint64_t* hashes, const int64_t* bounds,
   return n_found.load();
 }
 
+// Windowed references-vs-candidates sweep (the search_with_references
+// batched path, video_dup_finder.rs:19-46): for each ref i emit all
+// pairs (i, j), lo[i] <= j < min(hi[i], n), with
+// hamming(refs[i], cands[j]) <= tol.  Same AVX-512 fast path as the
+// banded sweep; arbitrary inter-thread pair order (the caller sorts).
+int64_t vdf_refs_windowed(const uint64_t* refs, int64_t r,
+                          const uint64_t* cands, int64_t n,
+                          const int64_t* lo, const int64_t* hi,
+                          uint32_t tol, int64_t* out_pairs, int64_t cap,
+                          int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  std::atomic<int64_t> next_ref(0);
+  std::atomic<int64_t> n_found(0);
+
+  auto worker = [&]() {
+    constexpr int64_t kRefChunk = 64;
+    while (true) {
+      int64_t i0 = next_ref.fetch_add(kRefChunk);
+      if (i0 >= r) break;
+      int64_t i1 = i0 + kRefChunk < r ? i0 + kRefChunk : r;
+      for (int64_t i = i0; i < i1; ++i) {
+        const uint64_t* ri = refs + i * kWords;
+        int64_t j = lo[i] > 0 ? lo[i] : 0;
+        int64_t jmax = hi[i] < n ? hi[i] : n;
+#ifdef __AVX512VPOPCNTDQ__
+        uint32_t d4[4];
+        for (; j + 4 <= jmax; j += 4) {
+          hamming16_avx4(ri, cands + j * kWords, d4);
+          for (int k = 0; k < 4; ++k) {
+            if (d4[k] <= tol) {
+              int64_t slot = n_found.fetch_add(1);
+              if (slot < cap) {
+                out_pairs[2 * slot] = i;
+                out_pairs[2 * slot + 1] = j + k;
+              }
+            }
+          }
+        }
+        for (; j < jmax; ++j) {
+          if (hamming16_avx(ri, cands + j * kWords) <= tol) {
+            int64_t slot = n_found.fetch_add(1);
+            if (slot < cap) {
+              out_pairs[2 * slot] = i;
+              out_pairs[2 * slot + 1] = j;
+            }
+          }
+        }
+#else
+        for (; j < jmax; ++j) {
+          if (hamming16(ri, cands + j * kWords) <= tol) {
+            int64_t slot = n_found.fetch_add(1);
+            if (slot < cap) {
+              out_pairs[2 * slot] = i;
+              out_pairs[2 * slot + 1] = j;
+            }
+          }
+        }
+#endif
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return n_found.load();
+}
+
 // One-vs-many distances (the search_with_references inner loop,
 // search_algorithm.rs:63-77): dists[k] = hamming(target, hashes[k]).
 void vdf_distances_one(const uint64_t* target, const uint64_t* hashes,

@@ -429,6 +429,37 @@ class Search:
                         )
             return results
 
+        # CPU-only fast path: the native windowed sweep (AVX-512 where
+        # available) runs each ref's exact [lo, hi) window instead of
+        # host BLAS over block-union windows — same pairs, ascending j
+        # per ref, matched-filter applied identically
+        try:
+            from .native import available as _native_ok
+            from .native import refs_windowed_native
+        except Exception:  # pragma: no cover - native module ships in-tree
+            def _native_ok() -> bool:
+                return False
+
+        if _native_ok() and os.environ.get("VDF_REFS_NATIVE", "1") == "1":
+            ref_mat = hashes_to_matrix([refs[k] for k in order])
+            lo = np.array([w[0] for w in windows_all], np.int64)
+            hi = np.array([w[1] for w in windows_all], np.int64)
+            pi, pj = refs_windowed_native(
+                np.ascontiguousarray(ref_mat).view(np.uint64),
+                np.ascontiguousarray(
+                    hashes_to_matrix(self.entries)
+                ).view(np.uint64),
+                lo, hi, tol,
+            )
+            results = [[] for _ in refs]
+            for i, j in zip(pi.tolist(), pj.tolist()):
+                jj = int(j)
+                if not self.matched[jj]:
+                    results[order[int(i)]].append(
+                        self.entries[jj].src_path
+                    )
+            return results
+
         cand_pm = unpack_pm1_host(hashes_to_matrix(self.entries))
         results: list[list[str]] = [[] for _ in refs]
 
