@@ -160,6 +160,29 @@ def refs_windowed_native(
     return pairs[:, 0].copy(), pairs[:, 1].copy()
 
 
+def distances_one_native(
+    target_u32: np.ndarray, cands_u32: np.ndarray
+) -> np.ndarray:
+    """dists[k] = hamming(target, cands[k]) (search_algorithm.rs:63-77).
+
+    Inputs in the uint32[.., 32] search layout; words are viewed as the
+    u64 pairs the C side consumes."""
+    lib = get_lib()
+    assert lib is not None, "native library unavailable"
+    t64 = np.ascontiguousarray(target_u32, dtype=np.uint32).view(
+        np.uint64
+    )
+    c64 = np.ascontiguousarray(cands_u32, dtype=np.uint32).view(
+        np.uint64
+    )
+    n = c64.shape[0]
+    out = np.empty(n, dtype=np.uint32)
+    lib.vdf_distances_one(
+        t64.ctypes.data, c64.ctypes.data, n, out.ctypes.data
+    )
+    return out.astype(np.int64)
+
+
 def count_leq_native(
     packed_u64: np.ndarray,
     bounds: np.ndarray,

@@ -497,6 +497,13 @@ def _distances_one_to_many(
     if not entries:
         return np.zeros(0, dtype=np.int64)
     mat = hashes_to_matrix(entries)
+    try:
+        from .native import available, distances_one_native
+
+        if available():
+            return distances_one_native(target.packed_u32(), mat)
+    except Exception:
+        pass
     t = target.packed_u32()[None, :]
     return np.bitwise_count(mat ^ t).sum(axis=1).astype(np.int64)
 
