@@ -132,6 +132,36 @@ def main() -> None:
         planted_clusters_ok=ok,
     )
 
+    # batched multi-reference search (CPU native windowed sweep)
+    r = int(os.environ.get("VDF_CPU_REFS", "500"))
+    refs = [
+        VideoHash.from_packed_u32(
+            packed[int(i)], f"/r/{k}.mp4", int(durations[int(i)])
+        )
+        for k, i in enumerate(
+            np.random.default_rng(9).integers(0, n, r)
+        )
+    ]
+    s.matched[:] = False  # search_self above marked every entry visited
+    s.search_with_references_batched(refs[:8], 0.35)  # warm
+    t0 = time.time()
+    res = s.search_with_references_batched(refs, 0.35)
+    dt = time.time() - t0
+    windows = [s._duration_slice(x.duration) for x in refs]
+    ref_comps = int(sum(w[1] - w[0] for w in windows))
+    matches = sum(len(x) for x in res)
+    line = {
+        "metric": f"cpu_refs_batched@{r}x{n}",
+        "value": round(ref_comps / dt, 1),
+        "unit": "comparisons/s",
+        "secs": round(dt, 3),
+        "comps": ref_comps,
+        "matches": matches,
+    }
+    lines.append(line)
+    print(json.dumps(line))
+    assert matches >= r  # every ref's own row is within tolerance 0
+
     with open(out_path, "w") as f:
         for line in lines:
             f.write(json.dumps(line) + "\n")
