@@ -86,6 +86,16 @@ def test_reference_vids_distances(ref_hashes):
             assert hs[a].normalized_hamming_distance(hs[b]) > 0.40
 
 
+def test_reference_doctest_frame_count():
+    """vid_frame_iter's doc-test decodes dog.1.mp4 at native fps and
+    asserts exactly 1080 frames (vid_frame_iter/src/lib.rs:33-45); the
+    facade must deliver the same count."""
+    from vid_dup_finder_lib_tpu.ingest.backend import FrameReadCfg
+
+    cfg = FrameReadCfg.from_path(os.path.join(_REF_VIDS, "dog.1.mp4"))
+    assert sum(1 for _ in cfg.spawn_gray()) == 1080
+
+
 def test_resize_lsb_sensitivity_on_real_content(ref_hashes):
     """Resize-rounding robustness margin on real content (historically
     the PARITY deviation-1 evidence; the deviation itself was closed in
