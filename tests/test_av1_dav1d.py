@@ -133,7 +133,12 @@ def test_parse_malformed_tables_raise_vidproc(tmp_path):
     p.write_bytes(box(b"ftyp", b"isom") + box(b"moov", box(b"trak", mdia)))
     with pytest.raises(VidProc):
         mp4_av1.parse_av1_mp4(str(p))
-    assert not mp4_av1.is_av1_mp4(str(p))
+    # the cheap sniff (moov-only, no table walk) may still say av01 —
+    # the reader then surfaces the parse VidProc into error caching
+    from vid_dup_finder_lib_tpu.ingest.av1_reader import Av1FrameReader
+
+    with pytest.raises(VidProc):
+        list(Av1FrameReader(str(p)).frames())
 
 
 def test_parser_fuzz_never_crashes(tmp_path):

@@ -72,15 +72,63 @@ def _find1(buf, start, end, path) -> tuple[int, int] | None:
     return next(_find_all(buf, start, end, tuple(path)), None)
 
 
+_MOOV_SNIFF_CAP = 64 << 20  # refuse absurd moov sizes in the sniff
+
+
+def _read_moov(fh) -> bytes | None:
+    """Seek-walk the top-level boxes and return the moov payload only —
+    the sniff must not read a multi-GB mdat into memory."""
+    fh.seek(0, 2)
+    end = fh.tell()
+    off = 0
+    while off + 8 <= end:
+        fh.seek(off)
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            return None
+        size, typ = struct.unpack(">I4s", hdr)
+        hdr_len = 8
+        if size == 1:
+            big = fh.read(8)
+            if len(big) < 8:
+                return None
+            size = struct.unpack(">Q", big)[0]
+            hdr_len = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr_len or off + size > end:
+            return None
+        if typ == b"moov":
+            if size - hdr_len > _MOOV_SNIFF_CAP:
+                return None
+            return fh.read(size - hdr_len)
+        off += size
+    return None
+
+
 def is_av1_mp4(src_path: str | os.PathLike) -> bool:
-    """Cheap sniff: an ISOBMFF file whose moov carries an av01 track."""
+    """Cheap sniff: an ISOBMFF file whose moov carries an av01 track.
+
+    Reads only the box headers plus the moov payload (seek-walk) — a
+    multi-GB non-AV1 mp4 costs a few KB of reads, not a full load."""
     try:
         with open(src_path, "rb") as fh:
             head = fh.read(_FTYP_PEEK)
             if len(head) < 8 or head[4:8] != b"ftyp":
                 return False
-        parse_av1_mp4(src_path)
-        return True
+            moov = _read_moov(fh)
+        if moov is None:
+            return False
+        for trak in _find_all(moov, 0, len(moov), (b"trak",)):
+            stsd = _find1(
+                moov, trak[0], trak[1], [b"mdia", b"minf", b"stbl", b"stsd"]
+            )
+            if stsd is None:
+                continue
+            entry_off = stsd[0] + 8
+            if moov[entry_off + 4 : entry_off + 8] == b"av01":
+                return True
+        return False
     except (VidProc, OSError, struct.error):
         return False
 
