@@ -136,12 +136,15 @@ def is_av1_mp4(src_path: str | os.PathLike) -> bool:
 def parse_av1_mp4(src_path: str | os.PathLike) -> Av1Track:
     """Parse the first ``av01`` video track of an mp4 file.
 
-    Reads the whole file into memory (the moov commonly trails the
-    mdat); the bundled reference videos are <1 MB, and AV1 ingest is a
-    compatibility path, not a throughput one.
+    Seek-walks the top-level boxes and loads only the moov payload —
+    sample chunk offsets are absolute file offsets, so the (potentially
+    huge) mdat never touches memory; the reader streams samples by
+    seek afterwards.
     """
     with open(src_path, "rb") as fh:
-        buf = fh.read()
+        buf = _read_moov(fh)
+    if buf is None:
+        raise VidProc("mp4: no moov box")
     try:
         return _parse_av1_tracks(buf)
     except VidProc:
@@ -154,9 +157,10 @@ def parse_av1_mp4(src_path: str | os.PathLike) -> Av1Track:
 
 
 def _parse_av1_tracks(buf: bytes) -> Av1Track:
-    moov = _find1(buf, 0, len(buf), [b"moov"])
-    if moov is None:
-        raise VidProc("mp4: no moov box")
+    """Parse the first av01 track from a moov PAYLOAD (chunk offsets in
+    stco/co64 are absolute file offsets, so the mdat never needs to be
+    in memory)."""
+    moov = (0, len(buf))
     for trak in _find_all(buf, moov[0], moov[1], (b"trak",)):
         hdlr = _find1(buf, trak[0], trak[1], [b"mdia", b"hdlr"])
         if hdlr is None or buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
