@@ -68,7 +68,7 @@ __all__ = [
     "search_with_references",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"  # kept in sync with pyproject.toml
 
 
 def __getattr__(name):

@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default 8917) — this build's windowed front "
                         "end over the same resolution engine.")
 
+    from .. import __version__
+
+    p.add_argument(
+        "--version", action="version",
+        version=f"vid-dup-finder {__version__}",
+    )  # clap crate_version parity (arg_parse.rs:140)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--args-file", default=None, metavar="FILE",
