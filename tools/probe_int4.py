@@ -4,11 +4,15 @@ If int4 ran at 2x int8 MAC rate, the +/-1 sweep roof would double.
 Times a [8192, 1024] x [1024, 8192] dot in int8 vs int4 (values +/-1),
 d2h-forced completion.
 """
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vid_dup_finder_lib_tpu.utils.jaxconfig import enable_compilation_cache
 
