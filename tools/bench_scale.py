@@ -75,12 +75,30 @@ def run_point(n: int) -> dict:
     )
     comps = int(np.sum(np.maximum(bounds - np.arange(1, n + 1), 0)))
 
-    n_row_tiles = -(-n // hp.TILE_M)
-    n_row_chunks = -(-n_row_tiles // hp.R_TILES)
-    n_pad = (
-        n_row_chunks * hp.R_TILES * hp.TILE_M
-        + (hp.BAND_TILES + 1) * hp.TILE_N
+    windowed_pre = n >= int(
+        os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
     )
+    split = os.environ.get("VDF_SCALE_SPLIT")
+    split = (
+        split == "1"
+        if split is not None
+        else (windowed_pre and hp.should_split(n, bounds))
+    )
+    # size the device-born buffer at the state's exact `need` so the
+    # state takes the no-copy path (a pad concatenate transiently
+    # doubles an 8.2 GB buffer at 64M — past HBM)
+    if split:
+        n_pad = hp.split_need(n, bounds)
+    elif windowed_pre:
+        wr0 = int(os.environ.get("VDF_WINDOW_ROWS", "0")) or None
+        n_pad = hp.windowed_need(n, bounds, window_rows=wr0)
+    else:
+        n_row_tiles = -(-n // hp.TILE_M)
+        n_row_chunks = -(-n_row_tiles // hp.R_TILES)
+        n_pad = (
+            n_row_chunks * hp.R_TILES * hp.TILE_M
+            + (hp.BAND_TILES + 1) * hp.TILE_N
+        )
 
     t0 = time.time()
 
@@ -173,9 +191,13 @@ def run_point(n: int) -> dict:
             },
         }
 
-    windowed = n >= int(os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000"))
+    windowed = windowed_pre
     t0 = time.time()
-    if windowed:
+    if split:
+        state = hp.SplitWindowState(
+            None, bounds, n=n, packed_dev=packed_dev
+        )
+    elif windowed:
         wr = int(os.environ.get("VDF_WINDOW_ROWS", "0")) or None
         state = hp.WindowedPallasState(
             None, bounds, n=n, packed_dev=packed_dev, window_rows=wr
@@ -215,6 +237,13 @@ def run_point(n: int) -> dict:
         "secs": round(best, 3),
         "comps": comps,
         "windowed": windowed,
+        "split": split,
+        "split_windows": (
+            [state.rows_window_rows, state.window_rows] if split else None
+        ),
+        "split_rebuilds": (
+            [state.rebuilds_rows, state.rebuilds] if split else None
+        ),
         "pairs": len(ii),
         "planted_clusters_ok": CLUSTERS,
         "cluster_size": CLUSTER_SIZE,

@@ -440,6 +440,19 @@ def banded_adjacency(
         return banded_adjacency_pallas(
             packed, bounds, tolerance_int, state=st
         )
+    if backend == "pallas_split":
+        # independent rows/cols +/-1 windows: capacity bounded by the
+        # 128 B/hash packed matrix alone (the single window's minimum
+        # size is the widest band span, which overflows HBM past ~32M)
+        from .hamming_pallas import (
+            SplitWindowState,
+            banded_adjacency_pallas,
+        )
+
+        st = SplitWindowState(packed, bounds)
+        return banded_adjacency_pallas(
+            packed, bounds, tolerance_int, state=st
+        )
     if backend == "band":
         from .hamming_band import banded_adjacency_band
 
@@ -485,7 +498,18 @@ def banded_adjacency(
                 os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
             )
             if packed.shape[0] >= threshold:
-                st = WindowedPallasState(packed, bounds)
+                from .hamming_pallas import SplitWindowState, should_split
+
+                # past the point where packed + the minimum single
+                # window no longer fit HBM (~40M at typical bands),
+                # split the rows/cols windows — capacity then scales
+                # with the 128 B/hash packed matrix alone
+                cls = (
+                    SplitWindowState
+                    if should_split(packed.shape[0], bounds)
+                    else WindowedPallasState
+                )
+                st = cls(packed, bounds)
                 return banded_adjacency_pallas(
                     packed, bounds, tolerance_int, state=st
                 )

@@ -970,6 +970,47 @@ def _gen_batches(state, launches, sweep_sizes):
             )
             yield launches[b0 : b0 + size], None
             b0 += min(size, rem)
+    elif getattr(state, "split", False):
+        # split-window states: a batch must fit BOTH windows — the row
+        # chunk inside the (statically positioned) rows window, the
+        # launch's column stripe inside the (dynamically anchored) cols
+        # window.  The caller sorted launches by (rows window, column),
+        # so both windows advance monotonically within their loops.
+        rw = state.rows_window_rows
+        cw = state.window_rows
+        align = state.window_align
+        total = int(state.packed_dev.shape[0])
+        rmax = total - rw
+        wmax = total - cw
+        max_batch = sweep_sizes[0]
+        i = 0
+        cur: tuple[int, int] | None = None
+        while i < len(launches):
+            batch: list[tuple[int, tuple[int, ...]]] = []
+            for _attempt in range(2):
+                while i < len(launches) and len(batch) < max_batch:
+                    rt0, cts = launches[i]
+                    r_start = min(rt0 * TILE_M // rw * rw, rmax)
+                    lo_edge = min(cts) * TILE_N
+                    end = (max(cts) + BAND_TILES) * TILE_N
+                    if (
+                        cur is None
+                        or r_start != cur[0]
+                        or lo_edge < cur[1]
+                        or end - cur[1] > cw
+                    ):
+                        break
+                    batch.append(launches[i])
+                    i += 1
+                if batch or i >= len(launches):
+                    break
+                rt0, cts0 = launches[i]
+                cur = (
+                    min(rt0 * TILE_M // rw * rw, rmax),
+                    min(min(cts0) * TILE_N // align * align, wmax),
+                )
+            assert batch, "single launch exceeds the split window spans"
+            yield batch, cur
     else:
         w_rows = state.window_rows
         align = state.window_align
@@ -1032,8 +1073,13 @@ def _fill_scalars(
     # operand resident — only the COLUMN window slides, so row-tile
     # indices are absolute while column tiles are window-relative
     rows_static = getattr(state, "rows_static", False)
-    w_tm = 0 if (w_start is None or rows_static) else w_start // TILE_M
-    w_tn = 0 if w_start is None else w_start // TILE_N
+    if isinstance(w_start, tuple):
+        # split-window state: independent rows/cols window bases
+        w_tm = w_start[0] // TILE_M
+        w_tn = w_start[1] // TILE_N
+    else:
+        w_tm = 0 if (w_start is None or rows_static) else w_start // TILE_M
+        w_tn = 0 if w_start is None else w_start // TILE_N
     scalars_all[:, 0] = -1
     k = len(batch)
     rt0s = np.fromiter((b[0] for b in batch), np.int64, count=k)
@@ -1327,6 +1373,7 @@ class IncrementalDeviceLibrary:
         self._cap = max(1024, int(capacity))
         self._packed = jnp.zeros((self._cap, 32), jnp.uint32)
         self.n = 0
+        self._shared = False  # a state holds a zero-copy view of _packed
 
     def _grow(self, need: int) -> None:
         import jax.numpy as jnp
@@ -1340,6 +1387,7 @@ class IncrementalDeviceLibrary:
             buf, self._packed[: self.n], jnp.int32(0)
         )
         self._cap = new_cap
+        self._shared = False
 
     def append(self, packed_rows: np.ndarray) -> None:
         import jax.numpy as jnp
@@ -1350,6 +1398,11 @@ class IncrementalDeviceLibrary:
             return
         if self.n + k > self._cap:
             self._grow(self.n + k)
+        elif self._shared:
+            # a zero-copy state references _packed: the donating in-place
+            # append below would delete the buffer under it — copy first
+            self._packed = jnp.array(self._packed)
+            self._shared = False
         update_rows, _ = _incremental_jits()
         self._packed = update_rows(
             self._packed, jnp.asarray(packed_rows), jnp.int32(self.n)
@@ -1362,14 +1415,23 @@ class IncrementalDeviceLibrary:
         bounds: np.ndarray,
         windowed: bool | None = None,
         geom: Geometry | None = None,
-    ) -> "PallasSearchState | WindowedPallasState":
+        split: bool | None = None,
+    ) -> "PallasSearchState | WindowedPallasState | SplitWindowState":
         """Duration-sorted search state for the current library.
 
         ``order``: permutation (insertion index per sorted position, the
         host's (duration, path) sort); ``bounds``: per sorted row, the
         exclusive upper bound of its duration window.  ``windowed``
         defaults to the VDF_WINDOWED_THRESHOLD auto rule (sliding +/-1
-        window above ~3M rows instead of the 1 KB/hash resident matrix).
+        window above ~3M rows instead of the 1 KB/hash resident matrix);
+        ``split`` defaults to ``should_split`` (independent rows/cols
+        windows once packed + the minimum single window exceed HBM).
+
+        An IDENTITY ``order`` (rows appended pre-sorted) with enough
+        capacity hands the library buffer to the state zero-copy — at
+        64M hashes the gather alone would transiently hold two 8.2 GB
+        buffers.  The next ``append`` copies before its donating
+        in-place update so the state's view stays valid.
         """
         import jax.numpy as jnp
 
@@ -1381,14 +1443,29 @@ class IncrementalDeviceLibrary:
             windowed = n >= int(
                 os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
             )
+        if split is None:
+            split = windowed and should_split(n, bounds, geom)
         n_row_tiles = -(-n // TILE_M)
         n_row_chunks = -(-n_row_tiles // R_TILES)
         n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
-        idx = np.zeros(n_pad, np.int32)
-        idx[:n] = np.asarray(order, dtype=np.int32)
-        _, gather_rows = _incremental_jits()
-        packed_sorted = gather_rows(self._packed, jnp.asarray(idx))
-        cls = WindowedPallasState if windowed else PallasSearchState
+        order_np = np.asarray(order, dtype=np.int64)
+        if (
+            n == self.n
+            and self._cap >= n_pad
+            and np.array_equal(order_np, np.arange(n, dtype=np.int64))
+        ):
+            packed_sorted = self._packed  # zero-copy; pads are masked
+            self._shared = True
+        else:
+            idx = np.zeros(n_pad, np.int32)
+            idx[:n] = order_np
+            _, gather_rows = _incremental_jits()
+            packed_sorted = gather_rows(self._packed, jnp.asarray(idx))
+        cls = (
+            SplitWindowState
+            if split
+            else (WindowedPallasState if windowed else PallasSearchState)
+        )
         return cls(None, bounds, n=n, packed_dev=packed_sorted, geom=geom)
 
 
@@ -1459,6 +1536,138 @@ def _window_build_jit(w_rows: int):
     return f
 
 
+def _window_plan(
+    n: int, bounds: np.ndarray, geom: Geometry
+) -> tuple:
+    """Shared windowed-state planning: padded row count, launch metadata,
+    window alignment and the minimum legal SINGLE-window size (the widest
+    row chunk's whole band span — with one window, every launch's rows
+    AND its full column band must fit it; the split-window states escape
+    this by decoupling rows from columns).  Returns (bounds_i64, n_pad,
+    n_row_chunks, first_ct, n_ct, min_bound, max_row_lo, align, min_w).
+    """
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
+    bounds = np.asarray(bounds, dtype=np.int64)
+    n_row_tiles = -(-n // TILE_M)
+    n_row_chunks = -(-n_row_tiles // R_TILES)
+    n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+    first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(
+        n, bounds, n_row_chunks, geom
+    )
+    align = int(np.lcm(TILE_M * R_TILES, TILE_N))
+    # the compact [rows//128, 128] metadata packing needs 128-aligned
+    # row counts (n_pad and every window size are align-multiples)
+    assert align % 128 == 0 and n_pad % 128 == 0
+    span = 0
+    for rt in range(n_row_chunks * R_TILES):
+        if n_ct[rt] <= 0:
+            continue
+        stripes = -(-int(n_ct[rt]) // BAND_TILES)
+        last_ct = int(first_ct[rt]) + (stripes - 1) * BAND_TILES
+        col_end = (last_ct + BAND_TILES) * TILE_N
+        w0 = (rt * TILE_M // align) * align
+        span = max(span, col_end - w0, (rt + 1) * TILE_M - w0)
+    min_w = -(-span // align) * align
+    return (bounds, n_pad, n_row_chunks, first_ct, n_ct, min_bound,
+            max_row_lo, align, min_w)
+
+
+def windowed_need(
+    n: int,
+    bounds: np.ndarray,
+    window_rows: int | None = None,
+    geom: Geometry | None = None,
+) -> int:
+    """Packed-matrix row count a ``WindowedPallasState`` will require
+    (``n_pad`` + the resolved window).  Device-born library generators
+    size their buffer with this so the state takes the no-copy path
+    instead of a multi-GB pad ``concatenate`` (at 64M hashes that copy
+    alone transiently doubles an 8.2 GB buffer past HBM)."""
+    geom = geom if geom is not None else Geometry()
+    (_b, n_pad, _c, _f, _n, _mb, _mr, align, min_w) = _window_plan(
+        n, bounds, geom
+    )
+    if window_rows is None:
+        window_rows = 2 * min_w
+    w_rows = max(min_w, -(-int(window_rows) // align) * align)
+    w_rows = min(w_rows, -(-n_pad // align) * align)
+    return -(-n_pad // align) * align + w_rows
+
+
+def _resolve_split_windows(
+    n_pad: int,
+    align: int,
+    rows_window_rows: int | None,
+    cols_window_rows: int | None,
+    geom: Geometry,
+) -> tuple[int, int]:
+    """Resolve the (rows, cols) window sizes of a split-window state:
+    align-rounded, floored at one row chunk / one anchored launch stripe,
+    capped at the padded library."""
+    TILE_M, TILE_N, R_TILES, BAND_TILES = geom
+    rw = int(
+        rows_window_rows
+        or int(os.environ.get("VDF_SPLIT_ROWS_WINDOW", str(1 << 20)))
+    )
+    cw = int(
+        cols_window_rows
+        or int(os.environ.get("VDF_SPLIT_COLS_WINDOW", str(1 << 21)))
+    )
+    # a launch stripe spans BAND_TILES column tiles; its window anchor is
+    # align-floored, so the column window must absorb one extra align
+    min_cw = align + (BAND_TILES + 1) * TILE_N
+    rw = max(align, -(-rw // align) * align)
+    cw = max(-(-min_cw // align) * align, -(-cw // align) * align)
+    cap = -(-n_pad // align) * align
+    return min(rw, cap), min(cw, cap)
+
+
+def split_need(
+    n: int,
+    bounds: np.ndarray,
+    rows_window_rows: int | None = None,
+    cols_window_rows: int | None = None,
+    geom: Geometry | None = None,
+) -> int:
+    """Packed-matrix row count a ``SplitWindowState`` will require (the
+    split-window analogue of ``windowed_need``)."""
+    geom = geom if geom is not None else Geometry()
+    (_b, n_pad, _c, _f, _n, _mb, _mr, align, _mw) = _window_plan(
+        n, bounds, geom
+    )
+    rw, cw = _resolve_split_windows(
+        n_pad, align, rows_window_rows, cols_window_rows, geom
+    )
+    return -(-n_pad // align) * align + max(rw, cw)
+
+
+def should_split(
+    n: int,
+    bounds: np.ndarray,
+    geom: Geometry | None = None,
+) -> bool:
+    """Auto rule: does the single-window state's HBM footprint (packed
+    128 B/hash + the MINIMUM legal +/-1 window at 1 KB/row) exceed the
+    chip budget?  Above it the split-window state is the only layout
+    that fits — its windows are size-free knobs, not band-span-bound.
+    ``VDF_FORCE_SPLIT=1/0`` overrides; ``VDF_HBM_BUDGET_GB`` tunes the
+    budget (default 12 of a 16 GB v5e, leaving headroom for counts
+    buffers, window rebuild transients and the allocator)."""
+    force = os.environ.get("VDF_FORCE_SPLIT")
+    if force is not None:
+        return force == "1"
+    geom = geom if geom is not None else Geometry()
+    (_b, n_pad, _c, _f, _n, _mb, _mr, align, min_w) = _window_plan(
+        n, bounds, geom
+    )
+    need = -(-n_pad // align) * align + min_w
+    footprint = need * 128 + min_w * (
+        1024 if PM_DTYPE == "int8" else 2048
+    )
+    budget = float(os.environ.get("VDF_HBM_BUDGET_GB", "12")) * 2**30
+    return footprint > budget
+
+
 class WindowedPallasState:
     """Sliding-window search state: libraries beyond +/-1 HBM capacity.
 
@@ -1497,39 +1706,19 @@ class WindowedPallasState:
         if n is None:
             assert packed is not None
             n = packed.shape[0]
-        bounds = np.asarray(bounds, dtype=np.int64)
-        n_row_tiles = -(-n // TILE_M)
-        n_row_chunks = -(-n_row_tiles // R_TILES)
-        n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+        (bounds, n_pad, n_row_chunks, first_ct, n_ct, min_bound,
+         max_row_lo, align, min_w) = _window_plan(n, bounds, geom)
 
         if packed_dev is not None:
             assert packed_dev.shape[0] >= n_pad
         self.packed_dev = packed_dev  # None: deferred upload, sized below
-
-        first_ct, n_ct, min_bound, max_row_lo = _launch_metadata(
-            n, bounds, n_row_chunks, geom
-        )
 
         bounds_np = np.full(n_pad, -1, dtype=np.int32)
         bounds_np[:n] = np.minimum(bounds, n)
 
         # window sizing: every single launch (one row tile + its whole
         # BAND_TILES column stripe, anywhere in its band) must fit
-        self.window_align = int(np.lcm(TILE_M * R_TILES, TILE_N))
-        align = self.window_align
-        # the compact [rows//128, 128] metadata packing needs 128-aligned
-        # row counts (n_pad and every window size are align-multiples)
-        assert align % 128 == 0 and n_pad % 128 == 0
-        span = 0
-        for rt in range(n_row_chunks * R_TILES):
-            if n_ct[rt] <= 0:
-                continue
-            stripes = -(-int(n_ct[rt]) // BAND_TILES)
-            last_ct = int(first_ct[rt]) + (stripes - 1) * BAND_TILES
-            col_end = (last_ct + BAND_TILES) * TILE_N
-            w0 = (rt * TILE_M // align) * align
-            span = max(span, col_end - w0, (rt + 1) * TILE_M - w0)
-        min_w = -(-span // align) * align
+        self.window_align = align
         if window_rows is None:
             window_rows = 2 * min_w
         w_rows = max(min_w, -(-int(window_rows) // align) * align)
@@ -1632,6 +1821,167 @@ class WindowedPallasState:
         self.rebuilds += 1
 
 
+class SplitWindowState:
+    """Split-window search state: rows and columns slide INDEPENDENTLY.
+
+    ``WindowedPallasState``'s single window must hold a row chunk AND its
+    whole duration band, so its minimum size is the widest band span —
+    which grows with the library (≈6M rows ≈ 6 GB of int8 operands at
+    64M hashes) and, added to the 128 B/hash packed matrix, overflows a
+    16 GB v5e somewhere past 32M.  Here the kernel's two operand slots
+    (already separate arguments with separate scalar-indexed windows —
+    the windowed REFS state exploits the same structure) are fed from
+    two small independent windows:
+
+      * a rows window (``rows_window_rows``, default 1M ≈ 1 GB): +/-1
+        rows, bounds and the aliased row_lo for the row chunks currently
+        being swept, at STATIC positions (each row chunk belongs to
+        exactly one),
+      * a cols window (``cols_window_rows``, default 2M ≈ 2 GB): +/-1
+        columns only, anchored dynamically as the sweep walks each rows
+        window's launches in COLUMN order.
+
+    A row chunk's band now spans multiple cols-window positions — the
+    launch batcher cuts batches at window boundaries and the driver
+    drains counts + finishes phase B before every move, exactly as it
+    already did for the single window.  Capacity is therefore bounded by
+    the packed matrix alone (128 B/hash): ~100M hashes on 16 GB, with
+    the windows as fixed-size knobs.  Reference scaling claim being
+    exceeded: vid_dup_finder_lib/src/lib.rs:120-127 ("at least up to 1
+    million hashes").
+
+    Same driver contract as ``WindowedPallasState``; requires
+    R_TILES == 1 (the production geometry).
+    """
+
+    windowed = True
+    split = True
+    row_lo_iota = True
+    rows_static = False
+    uploaded_rows = None  # the streamed rows-build path does not apply
+
+    def __init__(
+        self,
+        packed: np.ndarray | None,
+        bounds: np.ndarray,
+        n: int | None = None,
+        packed_dev=None,
+        rows_window_rows: int | None = None,
+        cols_window_rows: int | None = None,
+        geom: Geometry | None = None,
+    ) -> None:
+        import jax.numpy as jnp
+
+        self.geom = geom = geom if geom is not None else Geometry()
+        TILE_M, TILE_N, R_TILES, BAND_TILES = geom
+        assert R_TILES == 1, "split sweeps assume single-row-tile chunks"
+        assert not COLT, "split-window states do not support VDF_COLT"
+        if n is None:
+            assert packed is not None
+            n = packed.shape[0]
+        (bounds, n_pad, n_row_chunks, first_ct, n_ct, min_bound,
+         max_row_lo, align, _min_w) = _window_plan(n, bounds, geom)
+
+        if packed_dev is not None:
+            assert packed_dev.shape[0] >= n_pad
+        self.packed_dev = packed_dev
+
+        bounds_np = np.full(n_pad, -1, dtype=np.int32)
+        bounds_np[:n] = np.minimum(bounds, n)
+
+        self.window_align = align
+        rw, cw = _resolve_split_windows(
+            n_pad, align, rows_window_rows, cols_window_rows, geom
+        )
+        self.rows_window_rows = rw
+        self.window_rows = cw  # driver name for the COLS window
+        need = -(-n_pad // align) * align + max(rw, cw)
+        if packed_dev is None:
+            # host-sourced library: deferred chunked h2d, overlapped
+            # with the sweep of earlier windows (same scheme as
+            # WindowedPallasState._ensure_packed)
+            self._chunk = min(
+                int(os.environ.get("VDF_STREAM_CHUNK_ROWS", "131072")),
+                -(-need // 256) * 256,
+            )
+            total = -(-need // self._chunk) * self._chunk
+            host_pad = np.zeros((total, 32), dtype=np.uint32)
+            host_pad[:n] = packed
+            self._host_packed: np.ndarray | None = host_pad
+            self._uploaded_packed: int | None = 0
+            self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
+        else:
+            self._host_packed = None
+            self._uploaded_packed = None
+            if packed_dev.shape[0] < need:
+                pad = jnp.zeros(
+                    (need - packed_dev.shape[0], 32), jnp.uint32
+                )
+                self.packed_dev = jnp.concatenate(
+                    [packed_dev, pad], axis=0
+                )
+        if bounds_np.size < need:
+            bounds_np = np.concatenate(
+                [bounds_np, np.full(need - n_pad, -1, np.int32)]
+            )
+        self._bounds_full = jnp.asarray(bounds_np.reshape(-1, 128))
+
+        self.n = n
+        self.n_pad = n_pad
+        self.n_row_chunks = n_row_chunks
+        self.first_ct = first_ct
+        self.n_ct = n_ct
+        self.min_bound = min_bound
+        self.max_row_lo = max_row_lo
+        self.max_ct = (n_pad - TILE_N) // TILE_N
+        self.w0: tuple[int, int] | None = None
+        self.r0: int | None = None
+        self.c0: int | None = None
+        self.rows_pm = None
+        self.pm1 = None  # cols window
+        self.pm1T = None
+        self.bounds_dev = None
+        self.row_lo_dev = None
+        self.rebuilds = 0  # cols-window rebuilds
+        self.rebuilds_rows = 0
+
+    # deferred packed upload: identical contract to WindowedPallasState
+    _ensure_packed = WindowedPallasState._ensure_packed
+
+    def move_window(self, w_start: tuple[int, int]) -> None:
+        """Move the rows and/or cols windows to ``(r_start, c_start)``.
+        The caller must have drained every launch against the previous
+        windows first (the driver's window-boundary sync)."""
+        import jax.numpy as jnp
+
+        r_start, c_start = w_start
+        assert r_start % self.window_align == 0
+        assert c_start % self.window_align == 0
+        self._ensure_packed(
+            max(r_start + self.rows_window_rows,
+                c_start + self.window_rows)
+        )
+        if r_start != self.r0:
+            # release before rebuilding so the allocator reuses pages
+            self.rows_pm = self.bounds_dev = self.row_lo_dev = None
+            fn = _window_build_jit(self.rows_window_rows)
+            self.rows_pm, self.bounds_dev = fn(
+                self.packed_dev, self._bounds_full, jnp.int32(r_start)
+            )
+            # iota row_lo: the operand slot aliases bounds (never read)
+            self.row_lo_dev = self.bounds_dev
+            self.r0 = r_start
+            self.rebuilds_rows += 1
+        if c_start != self.c0:
+            self.pm1 = None
+            self.pm1 = _refs_cols_window_jit(self.window_rows)(
+                self.packed_dev, jnp.int32(c_start)
+            )
+            self.c0 = c_start
+            self.rebuilds += 1
+        self.w0 = (r_start, c_start)
+
+
 def banded_adjacency_pallas(
     packed: np.ndarray | None,
     bounds: np.ndarray,
@@ -1678,11 +2028,21 @@ def banded_adjacency_pallas(
     )
     launches = _plan_launches(state)
     rows_static = getattr(state, "rows_static", False)
+    split = getattr(state, "split", False)
     if rows_static:
         # windowed refs search: rows (refs) stay resident, the cands
         # COLUMN window slides — column-major launch order makes the
         # window advance monotonically over the cands axis
         launches.sort(key=lambda b: b[1][0])
+    elif split:
+        # split-window self-search: group launches by their (static)
+        # rows window, column-major within it, so the rows window
+        # advances once per group and the cols window sweeps each
+        # group's bands monotonically
+        rw_sort = state.rows_window_rows
+        launches.sort(
+            key=lambda b: (b[0] * TILE_M // rw_sort, min(b[1]), b[0])
+        )
 
     dbg = os.environ.get("VDF_SWEEP_DEBUG") == "1"
     ph = {"dispatch": 0.0, "stream": 0.0, "drain": 0.0, "phase_b": 0.0,
@@ -1780,7 +2140,7 @@ def banded_adjacency_pallas(
             )
             out = run(
                 jnp.asarray(scalars_all),
-                state.rows_pm if rows_static else state.pm1,
+                state.rows_pm if (rows_static or split) else state.pm1,
                 state.pm1, state.bounds_dev, state.row_lo_dev,
             )
             pendingB.append((out, size, batch))
@@ -1813,7 +2173,7 @@ def banded_adjacency_pallas(
         ph["fetch_b"] += time.perf_counter() - t0
 
     pm1 = state.pm1
-    rowsA = state.rows_pm if rows_static else pm1
+    rowsA = state.rows_pm if (rows_static or split) else pm1
     colsA = state.pm1T if COLT else state.pm1
     bounds_dev = state.bounds_dev
     for batch, w_start in _gen_batches(state, launches, sweep_sizes):
@@ -1839,7 +2199,9 @@ def banded_adjacency_pallas(
                 state.move_window(w_start)
                 ph["stream"] += time.perf_counter() - t0
             pm1 = state.pm1
-            if not rows_static:
+            if split:
+                rowsA = state.rows_pm
+            elif not rows_static:
                 rowsA = pm1
             colsA = state.pm1T if COLT else state.pm1
             bounds_dev = state.bounds_dev
@@ -1927,20 +2289,31 @@ def _phase_b_fallback(
     fn = _build_chunk(interpret, geom)
     is_windowed = getattr(state, "windowed", False)
     rows_static = getattr(state, "rows_static", False)
+    split = getattr(state, "split", False)
     for rt0, cts in batch:
         w_start = None
         if is_windowed:
             align = state.window_align
-            wmax = int(state.packed_dev.shape[0]) - state.window_rows
-            anchor = min(cts) * TILE_N if rows_static else rt0 * TILE_M
-            w_start = min((anchor // align) * align, wmax)
+            total = int(state.packed_dev.shape[0])
+            wmax = total - state.window_rows
+            if split:
+                rw = state.rows_window_rows
+                w_start = (
+                    min(rt0 * TILE_M // rw * rw, total - rw),
+                    min(min(cts) * TILE_N // align * align, wmax),
+                )
+            else:
+                anchor = (
+                    min(cts) * TILE_N if rows_static else rt0 * TILE_M
+                )
+                w_start = min((anchor // align) * align, wmax)
             if w_start != state.w0:
                 state.move_window(w_start)
         scal = np.zeros((1, geom.n_scal), np.int32)
         _fill_scalars(scal, [(rt0, cts)], state, tolerance_int, n, w_start)
         packed_t, _ = fn(
             jnp.asarray(scal[0]),
-            state.rows_pm if rows_static else state.pm1,
+            state.rows_pm if (rows_static or split) else state.pm1,
             state.pm1, state.bounds_dev, state.row_lo_dev,
         )
         tiles = np.asarray(packed_t)

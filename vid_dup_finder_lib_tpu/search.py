@@ -196,6 +196,7 @@ class Search:
                 "pallas",
                 "pallas_streamed",
                 "pallas_windowed",
+                "pallas_split",
                 "native",
                 "band",
                 "ring",
