@@ -14,7 +14,11 @@ Prints one JSON line per measured point.
 Env: VDF_E2E_N (default 1_000_000), VDF_E2E_BACKEND (default auto),
 VDF_E2E_ITERS (default 2; the search is re-run on a fresh Search with
 the SAME entries — compile caches warm, library re-uploads each time
-unless the backend keeps state).
+unless the backend keeps state), VDF_E2E_DEVLIB=1 (attach an
+IncrementalDeviceLibrary with rows appended pre-sorted: the public
+``search(device_library=...)`` path — the one-time append h2d is timed
+separately as setup; each search then builds its sweep state zero-copy
+from the resident rows, round-4 VERDICT weak #1).
 """
 
 from __future__ import annotations
@@ -68,11 +72,42 @@ def main() -> None:
 
     from vid_dup_finder_lib_tpu.search import Search
 
+    devlib = os.environ.get("VDF_E2E_DEVLIB") == "1"
+    lib = None
+    t_append = None
+    if devlib:
+        # one-time library residency: rows appended in the Search's
+        # sorted (duration, src_path) order — synth_library rows are
+        # duration-sorted and paths ascend with the row index, so the
+        # insertion order IS the sorted order (zero-copy state handoff)
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+            Geometry,
+            IncrementalDeviceLibrary,
+        )
+
+        tm, tn, rt, bt = Geometry()
+        n_pad = (
+            -(-(-(-n // tm)) // rt) * rt * tm + (bt + 1) * tn
+        )
+        t0 = time.time()
+        lib = IncrementalDeviceLibrary(capacity=n_pad)
+        lib.append(packed)
+        import jax
+
+        jax.block_until_ready(lib._packed)
+        t_append = time.time() - t0
+
+    def fresh_search():
+        s = Search(hashes)
+        if lib is not None:
+            s.attach_device_library(lib, None)
+        return s
+
     best = None
     groups = None
     t_adj = t_replay = None
     for _ in range(iters):
-        s = Search(hashes)
+        s = fresh_search()
         t0 = time.time()
         groups = s.search_self(TOLERANCE, backend=backend)
         dt = time.time() - t0
@@ -80,7 +115,7 @@ def main() -> None:
             best = dt
             # phase split on the best iteration's fresh twin: adjacency
             # (matrix build + upload + device sweep) vs group replay
-            s2 = Search(hashes)
+            s2 = fresh_search()
             t0 = time.time()
             s2._ensure_adjacency(int(TOLERANCE * 1000), backend)
             t_adj = time.time() - t0
@@ -102,14 +137,22 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"search_e2e_secs@{n}",
+                "metric": f"search_e2e_secs@{n}"
+                + ("_devlib" if devlib else ""),
                 "value": round(best, 3),
-                "unit": "s (objects->groups, matrix+upload+sweep+replay)",
+                "unit": (
+                    "s (objects->groups, resident sweep+replay)"
+                    if devlib
+                    else "s (objects->groups, matrix+upload+sweep+replay)"
+                ),
                 "comps_per_s": round(comps / best, 1),
                 "groups": len(groups),
                 "backend": backend,
                 "iters": iters,
                 "obj_build_secs_untimed": round(t_objs, 2),
+                "lib_append_secs_untimed": (
+                    round(t_append, 2) if t_append is not None else None
+                ),
                 "adjacency_secs": round(t_adj, 3),
                 "replay_secs": round(t_replay, 3),
             }
