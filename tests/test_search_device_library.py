@@ -131,3 +131,31 @@ def test_seed_detaches_library():
     assert [sorted(g) for g in got if len(g) >= 2] == [
         sorted(g.contained_paths()) for g in expected
     ]
+
+
+def test_state_sizing_matches_state_need():
+    """library.state() must size by the STATE's packed need
+    (windowed_need / split_need), so a capacity-matched library hands
+    its buffer over without the constructor's pad concatenate (the
+    transient that would double an 8.2 GB buffer at 64M)."""
+    rng = np.random.default_rng(29)
+    n = 2048
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    bounds = np.minimum(np.arange(n) + 700, n)
+    order = np.arange(n, dtype=np.int64)
+
+    for split, need in (
+        (False, hp.windowed_need(n, bounds, geom=TINY)),
+        (True, hp.split_need(n, bounds, geom=TINY)),
+    ):
+        lib = hp.IncrementalDeviceLibrary(capacity=need)
+        lib.append(packed)
+        st = lib.state(
+            order, bounds, windowed=True, split=split, geom=TINY
+        )
+        assert st.packed_dev is lib._packed, (
+            f"split={split}: state() forced a device copy"
+        )
+        assert lib._shared

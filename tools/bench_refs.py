@@ -17,6 +17,14 @@ Knobs: VDF_REFS_R / VDF_REFS_N; VDF_REFS_DEVGEN=1 generates the
 candidate library ON DEVICE (no 128 B/hash h2d — default above 4M);
 VDF_REFS_WINDOW_ROWS sizes the column window.
 
+VDF_REFS_KERNEL=public (round-5 item 6) measures the PUBLIC function
+instead of the ops layer: ``search_with_references`` — VideoHash
+objects in, MatchGroups out, candidates attached as a device-resident
+``IncrementalDeviceLibrary`` (rows appended pre-sorted; one-time append
+untimed) — so the number includes Search construction, the per-ref
+window plumbing, ``matched`` filtering and group assembly
+(video_dup_finder.rs:19-46's full surface).
+
 Usage: python tools/bench_refs.py
 """
 
@@ -34,6 +42,109 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vid_dup_finder_lib_tpu.utils.jaxconfig import (  # noqa: E402
     enable_compilation_cache,
 )
+
+
+def _run_public(
+    r, n, rng, refs, cands, cands_dev, cand_durs, ref_durs,
+    lo, hi, planted, comps, gen_secs, upload_secs,
+) -> None:
+    """PUBLIC-function refs benchmark: search_with_references with an
+    attached device-resident candidate library (round-5 item 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        IncrementalDeviceLibrary,
+    )
+    from vid_dup_finder_lib_tpu.search import search_with_references
+    from vid_dup_finder_lib_tpu.video_hash import VideoHash
+
+    tol = 350 / 1000.0
+
+    # host objects for BOTH sides (what a user holds).  Candidate rows
+    # must exist on host for object construction: fetch the device-born
+    # library d2h once (untimed), or use the host-generated rows.
+    fetch_secs = None
+    if cands is None:
+        t0 = time.time()
+        cands = np.asarray(cands_dev)
+        fetch_secs = time.time() - t0
+    t0 = time.time()
+    cand_hashes = [
+        VideoHash.from_packed_u32(
+            cands[i], f"/v/{i:08}.mp4", int(cand_durs[i])
+        )
+        for i in range(n)
+    ]
+    ref_hashes = [
+        VideoHash.from_packed_u32(
+            refs[k], f"/r/{k:06}.mp4", int(ref_durs[k])
+        )
+        for k in range(r)
+    ]
+    obj_secs = time.time() - t0
+
+    # device-resident candidate library, appended in sorted order
+    # (cand rows ARE duration-sorted and paths ascend with the index)
+    t0 = time.time()
+    lib = IncrementalDeviceLibrary(capacity=max(1024, n))
+    if cands_dev is not None:
+        # device-born rows: adopt without h2d (mirror of lib.append)
+        if n < 1024:
+            pad = jnp.zeros((1024 - n, 32), jnp.uint32)
+            lib._packed = jnp.concatenate([cands_dev, pad])
+            lib._cap = 1024
+        else:
+            lib._packed = cands_dev
+            lib._cap = int(cands_dev.shape[0])
+        lib.n = n
+    else:
+        lib.append(cands)
+    jax.block_until_ready(lib._packed)
+    append_secs = time.time() - t0
+
+    # first call pays Search construction caches + jit buckets; the
+    # steady state (fresh Search each time, same objects) is call 2+
+    def run():
+        return search_with_references(
+            ref_hashes, cand_hashes, tol, device_library=lib,
+            library_paths=None,
+        )
+
+    t0 = time.time()
+    groups = run()
+    first_secs = time.time() - t0
+    t0 = time.time()
+    groups = run()
+    dt = time.time() - t0
+
+    # planted (ref k, cand idx) pairs must surface as MatchGroups
+    by_ref = {g.reference: set(g.duplicates) for g in groups}
+    missing = 0
+    for k, ci in planted:
+        dups = by_ref.get(f"/r/{k:06}.mp4", set())
+        if f"/v/{ci:08}.mp4" not in dups:
+            missing += 1
+    assert missing == 0, f"{missing}/{len(planted)} planted refs missed"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"refs_search_comps_per_sec@{r}x{n}_public",
+                "value": round(comps / dt, 1),
+                "unit": "comparisons/s (search_with_references,"
+                " objects->MatchGroups)",
+                "secs": round(dt, 2),
+                "first_call_secs_incl_compiles": round(first_secs, 2),
+                "groups": len(groups),
+                "planted_ok": len(planted),
+                "gen_secs_untimed": gen_secs and round(gen_secs, 2),
+                "fetch_secs_untimed": fetch_secs and round(fetch_secs, 2),
+                "obj_build_secs_untimed": round(obj_secs, 2),
+                "lib_adopt_secs_untimed": round(append_secs, 2),
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -109,6 +220,12 @@ def main() -> None:
     mode = os.environ.get(
         "VDF_REFS_KERNEL", "windowed" if on_tpu else "xla"
     )
+    if mode == "public":
+        _run_public(
+            r, n, rng, refs, cands, cands_dev, cand_durs, ref_durs,
+            lo, hi, planted, comps, gen_secs, upload_secs,
+        )
+        return
     if mode == "windowed":
         from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
             refs_adjacency_windowed,

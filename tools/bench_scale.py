@@ -274,7 +274,7 @@ def main() -> None:
         ).split(",")
     ]
     out_path = os.environ.get(
-        "VDF_SCALE_OUT", os.path.join(_REPO, "BENCH_SCALE_r04.json")
+        "VDF_SCALE_OUT", os.path.join(_REPO, "BENCH_SCALE_r05.json")
     )
     results = []
     for n in ns:

@@ -97,15 +97,21 @@ def main() -> None:
         jax.block_until_ready(lib._packed)
         t_append = time.time() - t0
 
+    t_sort = None
+
     def fresh_search():
+        nonlocal t_sort
+        t0 = time.time()
         s = Search(hashes)
+        dt = time.time() - t0
+        if t_sort is None or dt < t_sort:
+            t_sort = dt  # entry sort + durations array (host)
         if lib is not None:
             s.attach_device_library(lib, None)
         return s
 
     best = None
     groups = None
-    t_adj = t_replay = None
     for _ in range(iters):
         s = fresh_search()
         t0 = time.time()
@@ -113,15 +119,15 @@ def main() -> None:
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt
-            # phase split on the best iteration's fresh twin: adjacency
-            # (matrix build + upload + device sweep) vs group replay
-            s2 = fresh_search()
-            t0 = time.time()
-            s2._ensure_adjacency(int(TOLERANCE * 1000), backend)
-            t_adj = time.time() - t0
-            t0 = time.time()
-            s2.search_self(TOLERANCE, backend=backend)
-            t_replay = time.time() - t0
+    # phase split on one warm fresh twin: adjacency (matrix build +
+    # upload + device sweep) vs group replay
+    s2 = fresh_search()
+    t0 = time.time()
+    s2._ensure_adjacency(int(TOLERANCE * 1000), backend)
+    t_adj = time.time() - t0
+    t0 = time.time()
+    s2.search_self(TOLERANCE, backend=backend)
+    t_replay = time.time() - t0
 
     # planted clusters must come back as groups: CLUSTER_SIZE consecutive
     # rows share a duration window and sit pairwise <= 120 bits apart
@@ -150,6 +156,9 @@ def main() -> None:
                 "backend": backend,
                 "iters": iters,
                 "obj_build_secs_untimed": round(t_objs, 2),
+                "search_ctor_sort_secs": (
+                    round(t_sort, 2) if t_sort is not None else None
+                ),
                 "lib_append_secs_untimed": (
                     round(t_append, 2) if t_append is not None else None
                 ),

@@ -1445,9 +1445,21 @@ class IncrementalDeviceLibrary:
             )
         if split is None:
             split = windowed and should_split(n, bounds, geom)
-        n_row_tiles = -(-n // TILE_M)
-        n_row_chunks = -(-n_row_tiles // R_TILES)
-        n_pad = n_row_chunks * R_TILES * TILE_M + (BAND_TILES + 1) * TILE_N
+        # size to the STATE's real packed need (window slide-room
+        # included), so the zero-copy check and the gather output never
+        # force the constructor's pad concatenate — at 64M that concat
+        # transiently doubles an 8.2 GB buffer past HBM
+        if split:
+            n_pad = split_need(n, bounds, geom=geom)
+        elif windowed:
+            n_pad = windowed_need(n, bounds, geom=geom)
+        else:
+            n_row_tiles = -(-n // TILE_M)
+            n_row_chunks = -(-n_row_tiles // R_TILES)
+            n_pad = (
+                n_row_chunks * R_TILES * TILE_M
+                + (BAND_TILES + 1) * TILE_N
+            )
         order_np = np.asarray(order, dtype=np.int64)
         if (
             n == self.n
