@@ -73,6 +73,18 @@ def test_bit_position_convention():
     assert VideoHash.from_packed_u32(w32) == VideoHash(words)
 
 
+def test_from_packed_u32_noncontiguous_row():
+    # Regression: rows of a transposed / strided matrix (e.g. a fetched
+    # device library viewed column-major) used to crash the u4->u8 view
+    # with "last axis must be contiguous".
+    rng = np.random.default_rng(9)
+    h = VideoHash.random_hash(rng)
+    w32 = h.packed_u32()
+    mat_t = np.ascontiguousarray(np.stack([w32, w32]).T)  # columns of this are strided
+    assert VideoHash.from_packed_u32(mat_t[:, 0]) == VideoHash(h.hash)
+    assert VideoHash.from_packed_u32(w32[::-1][::-1]) == VideoHash(h.hash)
+
+
 def test_hash_with_spatial_distance_exact():
     rng = np.random.default_rng(4)
     base = VideoHash.random_hash(rng)

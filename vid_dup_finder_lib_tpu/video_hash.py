@@ -109,7 +109,7 @@ class VideoHash:
     def from_packed_u32(
         words32: np.ndarray, src_path: str = "", duration: int = 0
     ) -> "VideoHash":
-        w = np.asarray(words32, dtype="<u4")
+        w = np.ascontiguousarray(words32, dtype="<u4")
         assert w.shape == (HASH_WORDS32,)
         return VideoHash(w.view("<u8").copy(), src_path, duration)
 
