@@ -1,0 +1,258 @@
+"""ChunkedPackedStore: packed libraries past the single-allocation
+watermark.
+
+One flat [n, 32] uint32 buffer hits the measured per-allocation cap
+(~8 GiB on the v5e, tools/probe_hbm.py) at ~67M hashes.  The chunked
+store splits the packed library across fixed-size device chunks while
+sliding windows slice across at most two adjacent chunks.  These tests
+pin the slice/scatter data path bit-exactly and pair-for-pair sweep
+parity against the host oracle for every state that can carry a store
+(split, windowed, host-sourced deferred upload, incremental library),
+plus the graceful errors where chunking cannot apply.
+
+Reference semantics being preserved at scale: the
+``search_algorithm.rs:81-185`` adjacency contract (all pairs
+i < j < bounds[i], hamming <= tol, lexicographic order); scaling claim
+being exceeded: ``vid_dup_finder_lib/src/lib.rs:120-127``.
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_split_window import TINY, _tiny_geom
+from tests.test_windowed import _random_library
+
+
+def _store_from_packed(packed: np.ndarray, chunk_rows: int, need: int):
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+    )
+
+    store = ChunkedPackedStore.zeros(need, chunk_rows)
+    store.set_rows(0, packed)
+    return store
+
+
+def test_slice_rows_bit_exact_across_chunks():
+    """slice_rows == the flat-buffer slice at every offset class:
+    chunk-interior, chunk-start, chunk-end and straddling."""
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+    )
+
+    rng = np.random.default_rng(5)
+    flat = rng.integers(0, 2**32, (4096, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    store = ChunkedPackedStore.zeros(4096, 1024)
+    assert len(store.chunks) == 4
+    store.set_rows(0, flat)
+    for at in (0, 256, 768, 1024, 1536, 2048 - 256, 3072, 3328):
+        got = np.asarray(store.slice_rows(at, 768))
+        assert np.array_equal(got, flat[at : at + 768]), at
+    # writes that straddle a chunk boundary land bit-exactly too
+    patch = rng.integers(0, 2**32, (512, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    store.set_rows(1024 - 100, patch)
+    flat[1024 - 100 : 1024 - 100 + 512] = patch
+    got = np.asarray(store.slice_rows(768, 1024))
+    assert np.array_equal(got, flat[768 : 768 + 1024])
+
+
+def test_take_and_scatter_rows_across_chunks():
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+    )
+
+    rng = np.random.default_rng(6)
+    flat = rng.integers(0, 2**32, (3000, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    store = ChunkedPackedStore.zeros(3000, 1024)
+    store.set_rows(0, flat)
+    idx = np.array([0, 1023, 1024, 2047, 2048, 2999])
+    assert np.array_equal(store.take_rows(idx), flat[idx])
+    rows = rng.integers(0, 2**32, (6, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    store.scatter_rows(idx, rows)
+    flat[idx] = rows
+    assert np.array_equal(store.take_rows(idx), flat[idx])
+    assert np.array_equal(
+        np.asarray(store.slice_rows(1024, 1024)), flat[1024:2048]
+    )
+
+
+def test_chunked_split_state_matches_host():
+    """SplitWindowState over a multi-chunk store: minimal windows force
+    many moves on both axes, windows straddle chunk boundaries, pairs
+    replay the host oracle exactly."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+        SplitWindowState,
+        banded_adjacency_pallas,
+        split_need,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    packed, bounds = _random_library(n, rng)
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    assert len(hi) > 0
+    need = split_need(
+        n, bounds, rows_window_rows=1, cols_window_rows=1,
+        geom=_tiny_geom(),
+    )
+    store = _store_from_packed(packed, 1024, need)
+    assert len(store.chunks) >= 4
+    st = SplitWindowState(
+        None, bounds, n=n, packed_dev=store,
+        rows_window_rows=1, cols_window_rows=1, geom=_tiny_geom(),
+    )
+    assert isinstance(st.packed_dev, ChunkedPackedStore)
+    si, sj = banded_adjacency_pallas(packed, bounds, 350, state=st)
+    assert np.array_equal(hi, si)
+    assert np.array_equal(hj, sj)
+    assert st.rebuilds_rows >= 3 and st.rebuilds >= 3
+
+
+def test_chunked_windowed_state_matches_host():
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+        WindowedPallasState,
+        banded_adjacency_pallas,
+        windowed_need,
+    )
+
+    rng = np.random.default_rng(32)
+    n = 3000
+    packed, bounds = _random_library(n, rng)
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    assert len(hi) > 0
+    need = windowed_need(n, bounds, geom=_tiny_geom())
+    # chunk_rows must hold the resolved window: probe it first
+    probe = WindowedPallasState(
+        packed, bounds, geom=_tiny_geom()
+    )
+    cr = -(-probe.window_rows // 256) * 256
+    store = _store_from_packed(packed, cr, need)
+    if len(store.chunks) < 2:
+        pytest.skip("window too wide for a multi-chunk store at this n")
+    st = WindowedPallasState(
+        None, bounds, n=n, packed_dev=store, geom=_tiny_geom()
+    )
+    assert isinstance(st.packed_dev, ChunkedPackedStore)
+    wi, wj = banded_adjacency_pallas(packed, bounds, 350, state=st)
+    assert np.array_equal(hi, wi)
+    assert np.array_equal(hj, wj)
+
+
+def test_host_sourced_split_auto_chunks(monkeypatch):
+    """The host-sourced (deferred h2d) path auto-chunks past the
+    watermark: VDF_MAX_ALLOC_GB shrunk so 3000 rows cross it."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+        SplitWindowState,
+        banded_adjacency_pallas,
+    )
+
+    monkeypatch.setenv("VDF_MAX_ALLOC_GB", "0.0000001")  # ~107 bytes
+    monkeypatch.setenv("VDF_CHUNK_ROWS", "1024")
+    rng = np.random.default_rng(33)
+    n = 3000
+    packed, bounds = _random_library(n, rng)
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+    st = SplitWindowState(
+        packed, bounds, rows_window_rows=1, cols_window_rows=1,
+        geom=_tiny_geom(),
+    )
+    assert isinstance(st.packed_dev, ChunkedPackedStore)
+    si, sj = banded_adjacency_pallas(packed, bounds, 350, state=st)
+    assert np.array_equal(hi, si)
+    assert np.array_equal(hj, sj)
+
+
+def test_incremental_library_chunked_identity_handoff(monkeypatch):
+    """IncrementalDeviceLibrary past the watermark: chunked appends,
+    zero-copy identity-order handoff into a split state, sweep parity;
+    copy-on-write protects a shared state from later appends; the
+    unsorted handoff raises the graceful capacity error."""
+    from vid_dup_finder_lib_tpu.ops.hamming import banded_adjacency_host
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+        IncrementalDeviceLibrary,
+        banded_adjacency_pallas,
+    )
+
+    monkeypatch.setenv("VDF_MAX_ALLOC_GB", "0.0000001")
+    monkeypatch.setenv("VDF_CHUNK_ROWS", "1024")
+    rng = np.random.default_rng(34)
+    n = 3000
+    packed, bounds = _random_library(n, rng)
+    hi, hj = banded_adjacency_host(packed, bounds, 350)
+
+    lib = IncrementalDeviceLibrary(capacity=n)
+    assert isinstance(lib._packed, ChunkedPackedStore)
+    lib.append(packed[:1100])
+    lib.append(packed[1100:])
+    st = lib.state(
+        np.arange(n), bounds, windowed=True, split=True,
+        geom=_tiny_geom(),
+    )
+    si, sj = banded_adjacency_pallas(packed, bounds, 350, state=st)
+    assert np.array_equal(hi, si)
+    assert np.array_equal(hj, sj)
+
+    # copy-on-write: appending after the handoff must not corrupt the
+    # shared state's store
+    lib.append(packed[:8])
+    si2, sj2 = banded_adjacency_pallas(packed, bounds, 350, state=st)
+    assert np.array_equal(hi, si2)
+    assert np.array_equal(hj, sj2)
+
+    # non-identity order: graceful error, not an HBM-scale gather
+    order = np.arange(n)
+    order[:2] = order[:2][::-1]
+    with pytest.raises(ValueError, match="duration-sorted"):
+        lib2 = IncrementalDeviceLibrary(capacity=n)
+        lib2.append(packed)
+        lib2.state(order, bounds, windowed=True, geom=_tiny_geom())
+
+    # resident (non-windowed) state cannot carry a chunked store
+    with pytest.raises(ValueError, match="windowed"):
+        lib3 = IncrementalDeviceLibrary(capacity=n)
+        lib3.append(packed)
+        lib3.state(
+            np.arange(n), bounds, windowed=False, split=False,
+            geom=_tiny_geom(),
+        )
+
+
+def test_library_grow_migrates_flat_to_chunked(monkeypatch):
+    """Appending past the watermark migrates the flat buffer into a
+    chunked store with contents intact."""
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+        IncrementalDeviceLibrary,
+    )
+
+    rng = np.random.default_rng(35)
+    packed = rng.integers(0, 2**32, (3000, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    # watermark between the initial capacity (1024 rows = 128 KiB) and
+    # the grown size
+    monkeypatch.setenv("VDF_MAX_ALLOC_GB", str(256 * 1024 / 2**30))
+    monkeypatch.setenv("VDF_CHUNK_ROWS", "1024")
+    lib = IncrementalDeviceLibrary(capacity=1024)
+    assert not isinstance(lib._packed, ChunkedPackedStore)
+    lib.append(packed[:1000])
+    lib.append(packed[1000:])  # crosses: 3000 rows > 2048-row watermark
+    assert isinstance(lib._packed, ChunkedPackedStore)
+    assert np.array_equal(
+        lib._packed.take_rows(np.arange(3000)), packed
+    )

@@ -101,21 +101,46 @@ def run_point(n: int) -> dict:
         )
 
     t0 = time.time()
+    chunked = n_pad * 128 > hp._max_alloc_bytes()
+    if chunked:
+        # past the single-allocation watermark: generate the library
+        # directly into a ChunkedPackedStore, chunk by chunk
+        cr = hp._default_chunk_rows()
+        total = -(-n_pad // cr) * cr
 
-    @jax.jit
-    def gen(key):
-        p = jax.random.bits(key, (n_pad, 32), dtype=jnp.uint32)
-        mask = jnp.concatenate(
-            [
-                jnp.full((31,), 0xFFFFFFFF, jnp.uint32),
-                jnp.full((1,), 0xFF, jnp.uint32),
-            ]
+        @jax.jit
+        def gen_chunk(key):
+            p = jax.random.bits(key, (cr, 32), dtype=jnp.uint32)
+            mask = jnp.concatenate(
+                [
+                    jnp.full((31,), 0xFFFFFFFF, jnp.uint32),
+                    jnp.full((1,), 0xFF, jnp.uint32),
+                ]
+            )
+            return p & mask[None, :]
+
+        packed_dev = hp.ChunkedPackedStore(
+            [gen_chunk(jax.random.key(ci)) for ci in range(total // cr)],
+            cr,
         )
-        return p & mask[None, :]
+        seeds = packed_dev.take_rows(starts)
+    else:
 
-    packed_dev = gen(jax.random.key(0))
+        @jax.jit
+        def gen(key):
+            p = jax.random.bits(key, (n_pad, 32), dtype=jnp.uint32)
+            mask = jnp.concatenate(
+                [
+                    jnp.full((31,), 0xFFFFFFFF, jnp.uint32),
+                    jnp.full((1,), 0xFF, jnp.uint32),
+                ]
+            )
+            return p & mask[None, :]
 
-    seeds = np.asarray(jnp.take(packed_dev, jnp.asarray(starts), axis=0))
+        packed_dev = gen(jax.random.key(0))
+        seeds = np.asarray(
+            jnp.take(packed_dev, jnp.asarray(starts), axis=0)
+        )
     rows, idxs = [], []
     for si, s in enumerate(starts):
         for k in range(1, CLUSTER_SIZE):
@@ -127,14 +152,20 @@ def run_point(n: int) -> dict:
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def scatter(p, idx, new_rows):
-        return p.at[idx].set(new_rows)
+    if chunked:
+        packed_dev.scatter_rows(np.array(idxs), np.stack(rows))
+        int(packed_dev.take_rows(np.array([0]))[0, 0])  # force (tunnel)
+    else:
 
-    packed_dev = scatter(
-        packed_dev, jnp.asarray(np.array(idxs)), jnp.asarray(np.stack(rows))
-    )
-    int(np.asarray(packed_dev[0, 0]))  # force completion (tunnel)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scatter(p, idx, new_rows):
+            return p.at[idx].set(new_rows)
+
+        packed_dev = scatter(
+            packed_dev, jnp.asarray(np.array(idxs)),
+            jnp.asarray(np.stack(rows)),
+        )
+        int(np.asarray(packed_dev[0, 0]))  # force completion (tunnel)
     gen_secs = time.time() - t0
 
     if os.environ.get("VDF_SCALE_BACKEND") == "ring":

@@ -1371,16 +1371,45 @@ class IncrementalDeviceLibrary:
         import jax.numpy as jnp
 
         self._cap = max(1024, int(capacity))
-        self._packed = jnp.zeros((self._cap, 32), jnp.uint32)
+        if self._cap * 128 > _max_alloc_bytes():
+            # past the single-allocation watermark: chunked store
+            store = ChunkedPackedStore.zeros(self._cap)
+            self._cap = store.shape[0]
+            self._packed = store
+        else:
+            self._packed = jnp.zeros((self._cap, 32), jnp.uint32)
         self.n = 0
         self._shared = False  # a state holds a zero-copy view of _packed
 
     def _grow(self, need: int) -> None:
         import jax.numpy as jnp
 
+        if isinstance(self._packed, ChunkedPackedStore):
+            # chunk granularity already amortizes growth; existing
+            # chunks are reused untouched (shallow-copy the list if a
+            # state shares it so its view keeps the old length)
+            store = self._packed
+            if self._shared:
+                store = ChunkedPackedStore(
+                    list(store.chunks), store.chunk_rows
+                )
+            store.extend_to(need)
+            self._packed = store
+            self._cap = store.shape[0]
+            self._shared = False
+            return
         new_cap = self._cap
         while new_cap < need:
             new_cap *= 2
+        if new_cap * 128 > _max_alloc_bytes():
+            # crossing the watermark: migrate the flat buffer into a
+            # chunked store (chunk-sized device-to-device copies)
+            store = ChunkedPackedStore.zeros(need)
+            store.set_rows(0, self._packed[: self.n])
+            self._packed = store
+            self._cap = store.shape[0]
+            self._shared = False
+            return
         buf = jnp.zeros((new_cap, 32), jnp.uint32)
         update_rows, _ = _incremental_jits()
         self._packed = update_rows(
@@ -1401,12 +1430,22 @@ class IncrementalDeviceLibrary:
         elif self._shared:
             # a zero-copy state references _packed: the donating in-place
             # append below would delete the buffer under it — copy first
-            self._packed = jnp.array(self._packed)
+            if isinstance(self._packed, ChunkedPackedStore):
+                # chunks are immutable jnp arrays; a shallow list copy
+                # suffices (set_rows rebinds entries in OUR list only)
+                self._packed = ChunkedPackedStore(
+                    list(self._packed.chunks), self._packed.chunk_rows
+                )
+            else:
+                self._packed = jnp.array(self._packed)
             self._shared = False
-        update_rows, _ = _incremental_jits()
-        self._packed = update_rows(
-            self._packed, jnp.asarray(packed_rows), jnp.int32(self.n)
-        )
+        if isinstance(self._packed, ChunkedPackedStore):
+            self._packed.set_rows(self.n, packed_rows)
+        else:
+            update_rows, _ = _incremental_jits()
+            self._packed = update_rows(
+                self._packed, jnp.asarray(packed_rows), jnp.int32(self.n)
+            )
         self.n += k
 
     def state(
@@ -1461,13 +1500,37 @@ class IncrementalDeviceLibrary:
                 + (BAND_TILES + 1) * TILE_N
             )
         order_np = np.asarray(order, dtype=np.int64)
+        chunked = isinstance(self._packed, ChunkedPackedStore)
         if (
             n == self.n
-            and self._cap >= n_pad
+            # a chunked store extends itself with zero chunks inside the
+            # state constructor, so its capacity never forces a gather
+            and (self._cap >= n_pad or chunked)
             and np.array_equal(order_np, np.arange(n, dtype=np.int64))
         ):
+            if chunked and not (windowed or split):
+                raise ValueError(
+                    f"library of {n} hashes is chunked past the "
+                    f"single-allocation watermark "
+                    f"({_max_alloc_bytes() / 2**30:.1f} GiB, "
+                    f"VDF_MAX_ALLOC_GB) and requires a windowed state; "
+                    f"do not force windowed=False at this scale"
+                )
             packed_sorted = self._packed  # zero-copy; pads are masked
             self._shared = True
+        elif chunked:
+            # a cross-chunk permutation gather would transiently hold
+            # source + destination stores (2 x 128 B/hash) plus gather
+            # temps — past total HBM at every size that chunks.  The
+            # zero-copy handoff above is the supported path here.
+            raise ValueError(
+                f"library of {self.n} hashes exceeds the single-"
+                f"allocation watermark ({_max_alloc_bytes() / 2**30:.1f}"
+                f" GiB, VDF_MAX_ALLOC_GB): append rows duration-sorted "
+                f"(identity order over the full library) — an unsorted "
+                f"handoff needs a permutation gather that cannot fit "
+                f"HBM at this scale"
+            )
         else:
             idx = np.zeros(n_pad, np.int32)
             idx[:n] = order_np
@@ -1491,6 +1554,235 @@ def _packed_update_jit():
     @jax.jit
     def f(buf, chunk, at):
         return jax.lax.dynamic_update_slice(buf, chunk, (at, 0))
+
+    return f
+
+
+def _max_alloc_bytes() -> float:
+    """Largest single device buffer the backend will grant.  Measured by
+    ballast bisection (tools/probe_hbm.py): 8.0 GiB allocates, 8.25 GiB
+    is RESOURCE_EXHAUSTED on this 16 GB v5e — a single [n, 32] uint32
+    packed matrix therefore caps at ~67M hashes even though HBM holds
+    more.  ``VDF_MAX_ALLOC_GB`` overrides."""
+    return float(os.environ.get("VDF_MAX_ALLOC_GB", "8")) * 2**30
+
+
+def _default_chunk_rows() -> int:
+    """Rows per chunk of a ``ChunkedPackedStore`` (default 16M rows =
+    2 GiB).  Must be a multiple of the window alignment (lcm of the tile
+    dims, 2048 at the production geometry) and at least as large as any
+    sliding window so a window spans <= 2 adjacent chunks."""
+    return int(os.environ.get("VDF_CHUNK_ROWS", str(16 * 2**20)))
+
+
+@functools.cache
+def _chunk_slice1_jit(w_rows: int):
+    import jax
+
+    @jax.jit
+    def f(c, rel):
+        return jax.lax.dynamic_slice(c, (rel, 0), (w_rows, 32))
+
+    return f
+
+
+@functools.cache
+def _chunk_slice_k_jit(w_rows: int, chunk_rows: int, k: int):
+    import jax
+    import jax.numpy as jnp
+
+    # window straddling k chunks: k bounded row gathers + selects (a
+    # concatenate of the chunks would transiently hold k x chunk_bytes;
+    # a clamped dynamic_slice would silently shift out-of-range starts).
+    # ``rel`` is traced so every move at this window size reuses one
+    # compile (each kernel compile costs ~7.5 s through the remote
+    # helper on this tunnel).
+    @jax.jit
+    def f(rel, *cs):
+        idx = rel + jnp.arange(w_rows, dtype=jnp.int32)
+        out = None
+        for ci, c in enumerate(cs):
+            local = idx - ci * chunk_rows
+            g = jnp.take(
+                c, jnp.clip(local, 0, chunk_rows - 1), axis=0
+            )
+            if out is None:
+                out = g
+            else:
+                out = jnp.where((local >= 0)[:, None], g, out)
+        return out
+
+    return f
+
+
+class ChunkedPackedStore:
+    """Packed [n, 32] uint32 library split across fixed-size device
+    chunks.
+
+    One flat buffer hits the measured single-allocation watermark
+    (``_max_alloc_bytes``, ~8 GiB on this v5e) at ~67M hashes; splitting
+    the store bounds every allocation at ``chunk_rows`` x 128 B while
+    keeping the library fully device-resident.  Sliding windows
+    (<= ~2M rows) slice across at most two adjacent chunks, so window
+    rebuild cost is unchanged on the (common) single-chunk path and one
+    bounded gather on the straddle path.  Capacity then scales to total
+    HBM instead of the per-allocation cap — the layout behind the >64M
+    points (reference scaling claim being exceeded:
+    vid_dup_finder_lib/src/lib.rs:120-127).
+    """
+
+    ndim = 2
+
+    def __init__(self, chunks: list, chunk_rows: int) -> None:
+        self.chunk_rows = int(chunk_rows)
+        self.chunks = list(chunks)
+
+    @classmethod
+    def zeros(cls, total_rows: int, chunk_rows: int | None = None):
+        import jax.numpy as jnp
+
+        cr = int(chunk_rows or _default_chunk_rows())
+        k = max(1, -(-int(total_rows) // cr))
+        return cls(
+            [jnp.zeros((cr, 32), jnp.uint32) for _ in range(k)], cr
+        )
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.chunk_rows * len(self.chunks), 32)
+
+    @property
+    def nbytes(self) -> int:
+        return self.chunk_rows * len(self.chunks) * 128
+
+    def block_until_ready(self) -> None:
+        for c in self.chunks:
+            c.block_until_ready()
+
+    def extend_to(self, total_rows: int) -> None:
+        """Append zero chunks until the store holds ``total_rows``."""
+        import jax.numpy as jnp
+
+        while self.shape[0] < total_rows:
+            self.chunks.append(
+                jnp.zeros((self.chunk_rows, 32), jnp.uint32)
+            )
+
+    def slice_rows(self, at: int, w_rows: int):
+        """Device uint32[w_rows, 32] window starting at row ``at``.
+        ``at`` is a host int (window moves are host-level events), so
+        chunk routing is static; only the intra-chunk offset is traced."""
+        import jax.numpy as jnp
+
+        assert 0 <= at and at + w_rows <= self.shape[0]
+        c = at // self.chunk_rows
+        rel = at - c * self.chunk_rows
+        if rel + w_rows <= self.chunk_rows:
+            return _chunk_slice1_jit(w_rows)(
+                self.chunks[c], jnp.int32(rel)
+            )
+        k = -(-(rel + w_rows) // self.chunk_rows)
+        return _chunk_slice_k_jit(w_rows, self.chunk_rows, k)(
+            jnp.int32(rel), *self.chunks[c : c + k]
+        )
+
+    def set_rows(self, at: int, rows) -> None:
+        """Write ``rows`` (host or device uint32[k, 32]) at row ``at``,
+        splitting across chunk boundaries as needed."""
+        import jax.numpy as jnp
+
+        rows = np.ascontiguousarray(rows, dtype=np.uint32) if isinstance(
+            rows, np.ndarray
+        ) else rows
+        k = int(rows.shape[0])
+        upd = _packed_update_jit()
+        off = 0
+        while off < k:
+            c = (at + off) // self.chunk_rows
+            rel = (at + off) - c * self.chunk_rows
+            take = min(k - off, self.chunk_rows - rel)
+            self.chunks[c] = upd(
+                self.chunks[c],
+                jnp.asarray(rows[off : off + take]),
+                jnp.int32(rel),
+            )
+            off += take
+
+    def take_rows(self, idx: np.ndarray) -> np.ndarray:
+        """Host gather of a few rows (planted-cluster seeds etc.)."""
+        import jax.numpy as jnp
+
+        idx = np.asarray(idx, dtype=np.int64)
+        out = np.zeros((idx.size, 32), np.uint32)
+        for c in range(len(self.chunks)):
+            m = (idx >= c * self.chunk_rows) & (
+                idx < (c + 1) * self.chunk_rows
+            )
+            if not m.any():
+                continue
+            out[m] = np.asarray(
+                jnp.take(
+                    self.chunks[c],
+                    jnp.asarray(idx[m] - c * self.chunk_rows),
+                    axis=0,
+                )
+            )
+        return out
+
+    def scatter_rows(self, idx: np.ndarray, rows: np.ndarray) -> None:
+        """Scatter host rows at arbitrary indices (donating per chunk)."""
+        import jax
+
+        import jax.numpy as jnp
+
+        idx = np.asarray(idx, dtype=np.int64)
+        rows = np.ascontiguousarray(rows, dtype=np.uint32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scat(c, ii, rr):
+            return c.at[ii].set(rr)
+
+        for c in range(len(self.chunks)):
+            m = (idx >= c * self.chunk_rows) & (
+                idx < (c + 1) * self.chunk_rows
+            )
+            if not m.any():
+                continue
+            self.chunks[c] = scat(
+                self.chunks[c],
+                jnp.asarray(idx[m] - c * self.chunk_rows),
+                jnp.asarray(rows[m]),
+            )
+
+
+@functools.cache
+def _window_build_pk_jit(w_rows: int):
+    """``_window_build_jit`` with the packed window pre-sliced (the
+    chunked-store path slices it across chunks first)."""
+    import math
+
+    import jax
+
+    @jax.jit
+    def f(pk, bounds_full, at):
+        pm = unpack_pm_scan(pk, math.gcd(w_rows, 1024))
+        b = jax.lax.dynamic_slice(
+            bounds_full, (at // 128, 0), (w_rows // 128, 128)
+        ).reshape(w_rows, 1)
+        return pm, b
+
+    return f
+
+
+@functools.cache
+def _unpack_window_jit(w_rows: int):
+    import math
+
+    import jax
+
+    @jax.jit
+    def f(pk):
+        return unpack_pm_scan(pk, math.gcd(w_rows, 1024))
 
     return f
 
@@ -1722,6 +2014,8 @@ class WindowedPallasState:
          max_row_lo, align, min_w) = _window_plan(n, bounds, geom)
 
         if packed_dev is not None:
+            if isinstance(packed_dev, ChunkedPackedStore):
+                packed_dev.extend_to(n_pad)
             assert packed_dev.shape[0] >= n_pad
         self.packed_dev = packed_dev  # None: deferred upload, sized below
 
@@ -1752,17 +2046,25 @@ class WindowedPallasState:
             host_pad[:n] = packed
             self._host_packed: np.ndarray | None = host_pad
             self._uploaded_packed: int | None = 0
-            self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
+            if total * 128 > _max_alloc_bytes():
+                # past the single-allocation watermark: chunked store
+                self.packed_dev = ChunkedPackedStore.zeros(total)
+            else:
+                self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
         else:
             self._host_packed = None
             self._uploaded_packed = None
             if packed_dev.shape[0] < need:
-                pad = jnp.zeros(
-                    (need - packed_dev.shape[0], 32), jnp.uint32
-                )
-                self.packed_dev = jnp.concatenate(
-                    [packed_dev, pad], axis=0
-                )
+                if isinstance(packed_dev, ChunkedPackedStore):
+                    packed_dev.extend_to(need)
+                    self.packed_dev = packed_dev
+                else:
+                    pad = jnp.zeros(
+                        (need - packed_dev.shape[0], 32), jnp.uint32
+                    )
+                    self.packed_dev = jnp.concatenate(
+                        [packed_dev, pad], axis=0
+                    )
         if bounds_np.size < need:
             bounds_np = np.concatenate(
                 [bounds_np, np.full(need - n_pad, -1, np.int32)]
@@ -1797,10 +2099,20 @@ class WindowedPallasState:
             -(-max(rows_needed, 0) // self._chunk) * self._chunk, total
         )
         upd = _packed_update_jit()
+        chunked = isinstance(self.packed_dev, ChunkedPackedStore)
         while self._uploaded_packed < rows_needed:
             a = self._uploaded_packed
-            chunk = jnp.asarray(self._host_packed[a : a + self._chunk])
-            self.packed_dev = upd(self.packed_dev, chunk, jnp.int32(a))
+            if chunked:
+                self.packed_dev.set_rows(
+                    a, self._host_packed[a : a + self._chunk]
+                )
+            else:
+                chunk = jnp.asarray(
+                    self._host_packed[a : a + self._chunk]
+                )
+                self.packed_dev = upd(
+                    self.packed_dev, chunk, jnp.int32(a)
+                )
             self._uploaded_packed = a + self._chunk
         if self._uploaded_packed >= total:
             self._host_packed = None
@@ -1819,12 +2131,19 @@ class WindowedPallasState:
         # release our references first so the allocator can reuse the
         # previous window's pages for the new one
         self.pm1 = self.pm1T = self.bounds_dev = self.row_lo_dev = None
-        fn = _window_build_jit(self.window_rows)
-        self.pm1, self.bounds_dev = fn(
-            self.packed_dev,
-            self._bounds_full,
-            jnp.int32(w_start),
-        )
+        if isinstance(self.packed_dev, ChunkedPackedStore):
+            pk = self.packed_dev.slice_rows(w_start, self.window_rows)
+            self.pm1, self.bounds_dev = _window_build_pk_jit(
+                self.window_rows
+            )(pk, self._bounds_full, jnp.int32(w_start))
+            del pk
+        else:
+            fn = _window_build_jit(self.window_rows)
+            self.pm1, self.bounds_dev = fn(
+                self.packed_dev,
+                self._bounds_full,
+                jnp.int32(w_start),
+            )
         # iota row_lo: the operand slot aliases bounds (never read)
         self.row_lo_dev = self.bounds_dev
         if COLT:
@@ -1895,6 +2214,8 @@ class SplitWindowState:
          max_row_lo, align, _min_w) = _window_plan(n, bounds, geom)
 
         if packed_dev is not None:
+            if isinstance(packed_dev, ChunkedPackedStore):
+                packed_dev.extend_to(n_pad)
             assert packed_dev.shape[0] >= n_pad
         self.packed_dev = packed_dev
 
@@ -1921,17 +2242,25 @@ class SplitWindowState:
             host_pad[:n] = packed
             self._host_packed: np.ndarray | None = host_pad
             self._uploaded_packed: int | None = 0
-            self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
+            if total * 128 > _max_alloc_bytes():
+                # past the single-allocation watermark: chunked store
+                self.packed_dev = ChunkedPackedStore.zeros(total)
+            else:
+                self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
         else:
             self._host_packed = None
             self._uploaded_packed = None
             if packed_dev.shape[0] < need:
-                pad = jnp.zeros(
-                    (need - packed_dev.shape[0], 32), jnp.uint32
-                )
-                self.packed_dev = jnp.concatenate(
-                    [packed_dev, pad], axis=0
-                )
+                if isinstance(packed_dev, ChunkedPackedStore):
+                    packed_dev.extend_to(need)
+                    self.packed_dev = packed_dev
+                else:
+                    pad = jnp.zeros(
+                        (need - packed_dev.shape[0], 32), jnp.uint32
+                    )
+                    self.packed_dev = jnp.concatenate(
+                        [packed_dev, pad], axis=0
+                    )
         if bounds_np.size < need:
             bounds_np = np.concatenate(
                 [bounds_np, np.full(need - n_pad, -1, np.int32)]
@@ -1973,22 +2302,40 @@ class SplitWindowState:
             max(r_start + self.rows_window_rows,
                 c_start + self.window_rows)
         )
+        chunked = isinstance(self.packed_dev, ChunkedPackedStore)
         if r_start != self.r0:
             # release before rebuilding so the allocator reuses pages
             self.rows_pm = self.bounds_dev = self.row_lo_dev = None
-            fn = _window_build_jit(self.rows_window_rows)
-            self.rows_pm, self.bounds_dev = fn(
-                self.packed_dev, self._bounds_full, jnp.int32(r_start)
-            )
+            if chunked:
+                pk = self.packed_dev.slice_rows(
+                    r_start, self.rows_window_rows
+                )
+                self.rows_pm, self.bounds_dev = _window_build_pk_jit(
+                    self.rows_window_rows
+                )(pk, self._bounds_full, jnp.int32(r_start))
+                del pk
+            else:
+                fn = _window_build_jit(self.rows_window_rows)
+                self.rows_pm, self.bounds_dev = fn(
+                    self.packed_dev, self._bounds_full,
+                    jnp.int32(r_start),
+                )
             # iota row_lo: the operand slot aliases bounds (never read)
             self.row_lo_dev = self.bounds_dev
             self.r0 = r_start
             self.rebuilds_rows += 1
         if c_start != self.c0:
             self.pm1 = None
-            self.pm1 = _refs_cols_window_jit(self.window_rows)(
-                self.packed_dev, jnp.int32(c_start)
-            )
+            if chunked:
+                pk = self.packed_dev.slice_rows(
+                    c_start, self.window_rows
+                )
+                self.pm1 = _unpack_window_jit(self.window_rows)(pk)
+                del pk
+            else:
+                self.pm1 = _refs_cols_window_jit(self.window_rows)(
+                    self.packed_dev, jnp.int32(c_start)
+                )
             self.c0 = c_start
             self.rebuilds += 1
         self.w0 = (r_start, c_start)
@@ -2255,7 +2602,24 @@ def banded_adjacency_pallas(
             # still being dispatched against the current one
             if not is_windowed and len(pendingB) >= fetch_b_max:
                 fetch_b()
-    drain_some(len(pendingA))
+    # Tail: with few total batches (8 at 1M resident) the single
+    # drain_some(ALL) returns only after the device idles, so every
+    # phase-B launch then serializes behind one counts round trip.  An
+    # eager tail drains the oldest tail_group batches at a time and
+    # dispatches full phase-B buckets between drains — those launches
+    # queue behind the still-executing phase-A batches, so B compute
+    # runs during the final counts RTT instead of after it.  Each extra
+    # tail drain costs one tunnel d2h (30-150 ms) that overlaps device
+    # execution; the floor is kernel + 2 RTTs (last counts d2h, B
+    # results d2h).  Knob-gated pending the silicon A/B.
+    tail_group = int(os.environ.get("VDF_TAIL_DRAIN_GROUP", "0"))
+    if tail_group > 0 and not interpret:
+        while pendingA:
+            drain_some(min(tail_group, len(pendingA)))
+            if pendingA:
+                dispatch_b(flush=False)
+    else:
+        drain_some(len(pendingA))
     dispatch_b(flush=True)
     fetch_b()
 
