@@ -80,15 +80,28 @@ def main() -> None:
         # sorted (duration, src_path) order — synth_library rows are
         # duration-sorted and paths ascend with the row index, so the
         # insertion order IS the sorted order (zero-copy state handoff)
+        from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
         from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
             Geometry,
             IncrementalDeviceLibrary,
         )
 
+        # size capacity at the STATE's real packed need (windowed/split
+        # slide-room included) so state() takes the zero-copy handoff —
+        # a resident-formula capacity forces a permutation gather that
+        # transiently doubles the packed matrix (impossible past ~32M)
         tm, tn, rt, bt = Geometry()
-        n_pad = (
-            -(-(-(-n // tm)) // rt) * rt * tm + (bt + 1) * tn
+        windowed = n >= int(
+            os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
         )
+        if windowed and hp.should_split(n, bounds):
+            n_pad = hp.split_need(n, bounds)
+        elif windowed:
+            n_pad = hp.windowed_need(n, bounds)
+        else:
+            n_pad = (
+                -(-(-(-n // tm)) // rt) * rt * tm + (bt + 1) * tn
+            )
         t0 = time.time()
         lib = IncrementalDeviceLibrary(capacity=n_pad)
         lib.append(packed)
