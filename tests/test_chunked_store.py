@@ -60,6 +60,35 @@ def test_slice_rows_bit_exact_across_chunks():
     assert np.array_equal(got, flat[768 : 768 + 1024])
 
 
+def test_short_last_chunk_and_extend():
+    """The last chunk may be shorter than chunk_rows (rounding waste is
+    capacity at the HBM edge); slices into and straddling it stay
+    bit-exact, and extend_to restores the uniform-routing invariant."""
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+    )
+
+    rng = np.random.default_rng(7)
+    store = ChunkedPackedStore.zeros(2816, 1024)
+    assert [int(c.shape[0]) for c in store.chunks] == [1024, 1024, 768]
+    assert store.shape[0] == 2816
+    flat = rng.integers(0, 2**32, (2816, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    store.set_rows(0, flat)
+    for at, w in ((2048, 768), (1920, 768), (0, 512), (2816 - 256, 256)):
+        got = np.asarray(store.slice_rows(at, w))
+        assert np.array_equal(got, flat[at : at + w]), (at, w)
+    store.extend_to(4096)
+    assert [int(c.shape[0]) for c in store.chunks] == [1024] * 4
+    got = np.asarray(store.slice_rows(1920, 896))
+    assert np.array_equal(got, flat[1920 : 1920 + 896])
+    assert np.array_equal(
+        np.asarray(store.slice_rows(2816, 1024)),
+        np.zeros((1024, 32), np.uint32),
+    )
+
+
 def test_take_and_scatter_rows_across_chunks():
     from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
         ChunkedPackedStore,
@@ -229,6 +258,79 @@ def test_incremental_library_chunked_identity_handoff(monkeypatch):
         lib3.state(
             np.arange(n), bounds, windowed=False, split=False,
             geom=_tiny_geom(),
+        )
+
+
+def test_refs_search_over_chunked_library(monkeypatch):
+    """Public ``search_with_references`` over a chunked device library
+    (identity order): the windowed refs state slices its column windows
+    across the chunks; groups replay the naive per-ref loop exactly."""
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+        IncrementalDeviceLibrary,
+    )
+    from vid_dup_finder_lib_tpu.search import (
+        Search,
+        search_with_references,
+    )
+    from vid_dup_finder_lib_tpu.video_hash import VideoHash
+
+    monkeypatch.setenv("VDF_MAX_ALLOC_GB", "0.0000001")
+    monkeypatch.setenv("VDF_CHUNK_ROWS", "1024")
+    monkeypatch.setenv("VDF_REFS_WINDOWED", "1")
+    monkeypatch.setenv("VDF_REFS_WINDOW_ROWS", "512")
+    rng = np.random.default_rng(36)
+    n, r = 3000, 40
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    packed[:, -1] &= np.uint32(0xFF)
+    durations = np.sort(rng.integers(100, 7200, n))
+    cand_hashes = [
+        VideoHash.from_packed_u32(
+            packed[i], f"/v/{i:08}.mp4", int(durations[i])
+        )
+        for i in range(n)
+    ]
+    # refs: near-duplicates of random candidates at matching durations
+    ref_hashes = []
+    for k in range(r):
+        j = int(rng.integers(0, n))
+        h = packed[j].copy()
+        for b in rng.choice(1000, 30, replace=False):
+            h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        ref_hashes.append(
+            VideoHash.from_packed_u32(h, f"/r/{k:04}.mp4", int(durations[j]))
+        )
+
+    lib = IncrementalDeviceLibrary(capacity=n)
+    assert isinstance(lib._packed, ChunkedPackedStore)
+    lib.append(packed)
+
+    got = search_with_references(
+        ref_hashes, cand_hashes, 0.35, device_library=lib
+    )
+    # oracle: the reference-semantics per-ref loop (no device library)
+    s = Search(cand_hashes)
+    want_matches = s.search_with_references(ref_hashes, 0.35, consume=False)
+    want = {
+        ref_hashes[k].src_path: sorted(m)
+        for k, m in enumerate(want_matches)
+        if m
+    }
+    got_map = {
+        g.reference: sorted(g.duplicates) for g in got
+    }
+    assert got_map == want
+    assert want  # the problem actually planted matches
+
+    # unsorted appends past the watermark: graceful error
+    lib2 = IncrementalDeviceLibrary(capacity=n)
+    lib2.append(packed[::-1].copy())
+    with pytest.raises(ValueError, match="duration-sorted"):
+        search_with_references(
+            ref_hashes, cand_hashes, 0.35, device_library=lib2,
+            library_paths=[f"/v/{n - 1 - i:08}.mp4" for i in range(n)],
         )
 
 

@@ -1636,37 +1636,68 @@ class ChunkedPackedStore:
     def __init__(self, chunks: list, chunk_rows: int) -> None:
         self.chunk_rows = int(chunk_rows)
         self.chunks = list(chunks)
+        # routing invariant: every chunk is exactly chunk_rows, except
+        # the LAST, which may be shorter (trims up to chunk_bytes of
+        # rounding waste — decisive at the total-HBM capacity edge)
+        assert all(
+            int(c.shape[0]) == self.chunk_rows for c in chunks[:-1]
+        )
+        assert int(chunks[-1].shape[0]) <= self.chunk_rows
 
     @classmethod
     def zeros(cls, total_rows: int, chunk_rows: int | None = None):
         import jax.numpy as jnp
 
         cr = int(chunk_rows or _default_chunk_rows())
-        k = max(1, -(-int(total_rows) // cr))
-        return cls(
-            [jnp.zeros((cr, 32), jnp.uint32) for _ in range(k)], cr
-        )
+        total = max(256, -(-int(total_rows) // 256) * 256)
+        full, rem = divmod(total, cr)
+        chunks = [jnp.zeros((cr, 32), jnp.uint32) for _ in range(full)]
+        if rem or not chunks:
+            chunks.append(jnp.zeros((max(rem, 256), 32), jnp.uint32))
+        return cls(chunks, cr)
 
     @property
     def shape(self) -> tuple[int, int]:
-        return (self.chunk_rows * len(self.chunks), 32)
+        return (
+            self.chunk_rows * (len(self.chunks) - 1)
+            + int(self.chunks[-1].shape[0]),
+            32,
+        )
 
     @property
     def nbytes(self) -> int:
-        return self.chunk_rows * len(self.chunks) * 128
+        return self.shape[0] * 128
 
     def block_until_ready(self) -> None:
         for c in self.chunks:
             c.block_until_ready()
 
     def extend_to(self, total_rows: int) -> None:
-        """Append zero chunks until the store holds ``total_rows``."""
+        """Grow the store to hold ``total_rows`` (zero rows appended).
+        A short last chunk is padded back to full first so the uniform
+        chunk routing stays valid."""
         import jax.numpy as jnp
 
-        while self.shape[0] < total_rows:
-            self.chunks.append(
-                jnp.zeros((self.chunk_rows, 32), jnp.uint32)
+        if self.shape[0] >= total_rows:
+            return
+        last = self.chunks[-1]
+        if int(last.shape[0]) < self.chunk_rows:
+            pad = jnp.zeros(
+                (self.chunk_rows - int(last.shape[0]), 32), jnp.uint32
             )
+            self.chunks[-1] = jnp.concatenate([last, pad], axis=0)
+        while self.shape[0] < total_rows:
+            short = total_rows - self.shape[0]
+            if short < self.chunk_rows:
+                self.chunks.append(
+                    jnp.zeros(
+                        (-(-short // 256) * 256, 32), jnp.uint32
+                    )
+                )
+            else:
+                self.chunks.append(
+                    jnp.zeros((self.chunk_rows, 32), jnp.uint32)
+                )
 
     def slice_rows(self, at: int, w_rows: int):
         """Device uint32[w_rows, 32] window starting at row ``at``.
@@ -1695,6 +1726,7 @@ class ChunkedPackedStore:
             rows, np.ndarray
         ) else rows
         k = int(rows.shape[0])
+        assert at + k <= self.shape[0]
         upd = _packed_update_jit()
         off = 0
         while off < k:
@@ -3222,12 +3254,25 @@ class WindowedRefsState:
         self.window_rows = w_rows = w_tiles * TILE_N
         need = -(-n_cpad // align) * align + w_rows
 
-        if cands_dev is not None:
+        if isinstance(cands_dev, ChunkedPackedStore):
+            # chunked store (candidates past the single-allocation
+            # watermark): rows beyond the library's n are zeros by
+            # construction and masked by the kernel's n clamp; shallow-
+            # copy the chunk list so the slide-room extension never
+            # mutates the library's own store
+            store = ChunkedPackedStore(
+                list(cands_dev.chunks), cands_dev.chunk_rows
+            )
+            store.extend_to(need)
+            self.packed_dev = store
+            self._host_packed: np.ndarray | None = None
+            self._uploaded_packed: int | None = None
+        elif cands_dev is not None:
             # device-born candidates: zero-pad on device, no h2d
             pad = jnp.zeros((need - n, 32), jnp.uint32)
             self.packed_dev = jnp.concatenate([cands_dev[:n], pad])
-            self._host_packed: np.ndarray | None = None
-            self._uploaded_packed: int | None = None
+            self._host_packed = None
+            self._uploaded_packed = None
         else:
             # host-sourced: deferred chunked h2d, overlapped with the
             # sweep of earlier windows (same scheme as
@@ -3241,7 +3286,10 @@ class WindowedRefsState:
             host_pad[:n] = cands_packed[:n]
             self._host_packed = host_pad
             self._uploaded_packed = 0
-            self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
+            if total * 128 > _max_alloc_bytes():
+                self.packed_dev = ChunkedPackedStore.zeros(total)
+            else:
+                self.packed_dev = jnp.zeros((total, 32), jnp.uint32)
 
         self.n = n
         self.n_pad = n_cpad
@@ -3267,9 +3315,14 @@ class WindowedRefsState:
         assert w_start % self.window_align == 0
         self._ensure_packed(w_start + self.window_rows)
         self.pm1 = None  # release before rebuilding
-        self.pm1 = _refs_cols_window_jit(self.window_rows)(
-            self.packed_dev, jnp.int32(w_start)
-        )
+        if isinstance(self.packed_dev, ChunkedPackedStore):
+            pk = self.packed_dev.slice_rows(w_start, self.window_rows)
+            self.pm1 = _unpack_window_jit(self.window_rows)(pk)
+            del pk
+        else:
+            self.pm1 = _refs_cols_window_jit(self.window_rows)(
+                self.packed_dev, jnp.int32(w_start)
+            )
         self.w0 = w_start
         self.rebuilds += 1
 

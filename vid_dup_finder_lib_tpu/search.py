@@ -154,13 +154,42 @@ class Search:
         if self._cands_dev is None and self._library is not None:
             import jax.numpy as jnp
 
-            from .ops.hamming_pallas import _incremental_jits
-
-            _, gather_rows = _incremental_jits()
-            self._cands_dev = gather_rows(
-                self._library._packed,
-                jnp.asarray(self._library_order.astype(np.int32)),
+            from .ops.hamming_pallas import (
+                ChunkedPackedStore,
+                _incremental_jits,
             )
+
+            n = len(self.entries)
+            chunked = isinstance(
+                self._library._packed, ChunkedPackedStore
+            )
+            if self._library.n == n and np.array_equal(
+                self._library_order, np.arange(n, dtype=np.int64)
+            ):
+                # rows appended pre-sorted: the library buffer IS the
+                # candidate matrix (pads beyond n are zeros and masked
+                # by n_cands) — no 64 MB index h2d, no 128 B/hash
+                # gather output re-allocated per fresh Search (~25 s
+                # of the 42 s public refs call at 16M).  A chunked
+                # store (past the single-allocation watermark) hands
+                # off the same way; the windowed refs state slices its
+                # column windows across the chunks.
+                self._cands_dev = self._library._packed
+                self._library._shared = True
+            elif chunked:
+                raise ValueError(
+                    f"references search over a chunked device library "
+                    f"({self._library.n} hashes past the single-"
+                    f"allocation watermark, VDF_MAX_ALLOC_GB) requires "
+                    f"rows appended duration-sorted (identity order) — "
+                    f"a permutation gather cannot fit HBM at this scale"
+                )
+            else:
+                _, gather_rows = _incremental_jits()
+                self._cands_dev = gather_rows(
+                    self._library._packed,
+                    jnp.asarray(self._library_order.astype(np.int32)),
+                )
         return self._cands_dev
 
     def seed(self, new_entries: Iterable[VideoHash]) -> None:
@@ -431,6 +460,14 @@ class Search:
                     sharded = (
                         "1" if len(jax.devices()) > 1 else None
                     )
+                if resident:
+                    from .ops.hamming_pallas import ChunkedPackedStore
+
+                    if isinstance(self._cands_dev, ChunkedPackedStore):
+                        # the sharded path replicates one flat buffer
+                        # per device; a chunked store stays on the
+                        # single-chip windowed state
+                        sharded = None
                 if sharded == "1":
                     from .parallel.refs_sharded import (
                         refs_adjacency_sharded,
