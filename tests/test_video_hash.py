@@ -85,6 +85,29 @@ def test_from_packed_u32_noncontiguous_row():
     assert VideoHash.from_packed_u32(w32[::-1][::-1]) == VideoHash(h.hash)
 
 
+def test_many_from_packed_u32_matches_per_row():
+    rng = np.random.default_rng(10)
+    m = rng.integers(0, 2**32, (64, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    paths = [f"/v/{i}.mp4" for i in range(64)]
+    durs = rng.integers(1, 7200, 64)
+    bulk = VideoHash.many_from_packed_u32(m, paths, durs)
+    for i in (0, 1, 31, 63):
+        assert bulk[i] == VideoHash.from_packed_u32(
+            m[i], paths[i], int(durs[i])
+        )
+    # frozen semantics: rows are read-only views
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bulk[0].hash[0] = 1
+    # non-contiguous input matrices work too
+    strided = np.ascontiguousarray(m.T).T
+    bulk2 = VideoHash.many_from_packed_u32(strided, paths, durs)
+    assert bulk2[5] == bulk[5]
+
+
 def test_hash_with_spatial_distance_exact():
     rng = np.random.default_rng(4)
     base = VideoHash.random_hash(rng)

