@@ -261,6 +261,38 @@ def test_incremental_library_chunked_identity_handoff(monkeypatch):
         )
 
 
+def test_public_search_chunked_host_sourced(monkeypatch):
+    """Public ``search(backend="pallas_split")`` with the watermark
+    shrunk so the host-sourced deferred upload auto-chunks: groups
+    identical to the naive reference-shaped loop."""
+    from vid_dup_finder_lib_tpu.search import search
+    from vid_dup_finder_lib_tpu.video_hash import VideoHash
+
+    monkeypatch.setenv("VDF_MAX_ALLOC_GB", "0.0000001")
+    monkeypatch.setenv("VDF_CHUNK_ROWS", "1024")
+    rng = np.random.default_rng(38)
+    n = 2000
+    packed = rng.integers(0, 2**32, (n, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    packed[:, -1] &= np.uint32(0xFF)
+    durations = np.sort(rng.integers(30, 7200, n))
+    for s in range(0, n - 1, max(1, n // 7)):
+        # planted duplicate pairs at shared durations
+        h = packed[s].copy()
+        for b in rng.choice(1000, 60, replace=False):
+            h[b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        packed[s + 1] = h
+        durations[s + 1] = durations[s]
+    hashes = VideoHash.many_from_packed_u32(
+        packed, (f"/v/{i:05}.mp4" for i in range(n)), durations
+    )
+    want = search(hashes, 0.35, backend="naive")
+    got = search(hashes, 0.35, backend="pallas_split")
+    assert [g.duplicates for g in got] == [g.duplicates for g in want]
+    assert len(want) > 0
+
+
 def test_refs_search_over_chunked_library(monkeypatch):
     """Public ``search_with_references`` over a chunked device library
     (identity order): the windowed refs state slices its column windows
