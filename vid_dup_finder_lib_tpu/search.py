@@ -87,8 +87,10 @@ class Search:
     def __init__(self, hashes: Iterable[VideoHash] = ()):  # Search::from + seed
         self.entries: list[VideoHash] = sorted(hashes, key=_sort_key)
         self.matched = np.zeros(len(self.entries), dtype=bool)
-        self._durations = np.array(
-            [e.duration for e in self.entries], dtype=np.int64
+        self._durations = np.fromiter(
+            (e.duration for e in self.entries),
+            dtype=np.int64,
+            count=len(self.entries),
         )
         # CSR adjacency: row i's in-tolerance candidates (sorted, j > i)
         # are _adj_j[_adj_off[i] : _adj_off[i + 1]]
