@@ -169,6 +169,11 @@ def run_point(n: int) -> dict:
     gen_secs = time.time() - t0
 
     if os.environ.get("VDF_SCALE_BACKEND") == "ring":
+        assert not chunked, (
+            "the ring shards one flat packed block per device; past the "
+            "single-allocation watermark use the split driver "
+            "(ring_capacity_ok vetoes the ring there in backend='auto')"
+        )
         # the multi-chip backend on the real chip (degenerate 1-device
         # ring unless more devices exist): compiled Mosaic kernels under
         # shard_map, device-resident packed input, optional row windows
