@@ -294,6 +294,34 @@ def run_point(n: int) -> dict:
             and hp.R_TILES == 1
         ),  # mirrors the driver's effective default
         "hbm_peak_gb": _hbm_peak_gb(),
+        # memory_stats() is null on this stack (probe_hbm.py bisects the
+        # real watermark); report the planned steady-state footprint so
+        # capacity lines are self-describing
+        "est_footprint_gb": round(
+            (
+                getattr(
+                    getattr(state, "packed_dev", None), "nbytes", 0
+                )
+                + (
+                    (state.rows_window_rows + state.window_rows)
+                    if split
+                    else getattr(state, "window_rows", 0)
+                )
+                * (1024 if hp.PM_DTYPE == "int8" else 2048)
+                + (
+                    state._bounds_full.nbytes
+                    if hasattr(state, "_bounds_full")
+                    else 0
+                )
+            )
+            / 2**30,
+            2,
+        ),
+        "packed_chunks": (
+            len(state.packed_dev.chunks)
+            if hasattr(getattr(state, "packed_dev", None), "chunks")
+            else None
+        ),
         "phases": phases,
     }
 
