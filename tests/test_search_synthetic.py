@@ -530,3 +530,47 @@ def test_env_search_backend_override(monkeypatch):
     monkeypatch.setenv("VDF_SEARCH_BACKEND", "host")
     groups = search([base, dup], 0.3)
     assert [sorted(g.contained_paths()) for g in groups] == [["a", "b"]]
+
+
+def test_ctor_sort_order_matches_reference_key():
+    """The vectorized (np.lexsort / sortedness-shortcut) Search ctor must
+    order entries exactly like the reference's (duration, bytewise-path)
+    sort (search_algorithm.rs:54-60), including duration ties, non-ASCII
+    paths (fallback branch), and surrogate-escaped path bytes where
+    str code-point order and byte order DISAGREE."""
+    from vid_dup_finder_lib_tpu.search import Search, _sort_key
+
+    rng = np.random.default_rng(71)
+
+    # shuffled ASCII corpus with heavy duration ties
+    mat = rng.integers(0, 2**32, size=(512, 32), dtype=np.uint32)
+    hs = [
+        VideoHash.from_packed_u32(
+            mat[i], f"/v/{int(rng.integers(100)):03d}/{i}.mp4",
+            int(rng.integers(5, 9)),
+        )
+        for i in range(512)
+    ]
+    s = Search(hs)
+    want = sorted(hs, key=_sort_key)
+    assert [e.src_path for e in s.entries] == [h.src_path for h in want]
+
+    # already-sorted input takes the shortcut and must keep the order
+    s2 = Search(s.entries)
+    assert [e.src_path for e in s2.entries] == [e.src_path for e in s.entries]
+
+    # non-ASCII + surrogate-escape: '\udc80' fsencodes to b'\x80' which
+    # sorts BELOW 'é' (b'\xc3\xa9') bytewise but ABOVE it by code point —
+    # the ctor must detect non-ASCII and fall back to the exact key
+    trick = [
+        VideoHash.from_packed_u32(mat[i], p, 7)
+        for i, p in enumerate(
+            ["/v/é.mp4", "/v/\udc80.mp4", "/v/a.mp4", "/v/ÿ.mp4", "/v/Z.mp4"]
+        )
+    ]
+    st = Search(trick)
+    want = sorted(trick, key=_sort_key)
+    assert [e.src_path for e in st.entries] == [h.src_path for h in want]
+    assert st.entries[0].src_path == "/v/Z.mp4"  # ASCII below all escapes
+    assert st.entries[1].src_path == "/v/a.mp4"
+    assert st.entries[2].src_path == "/v/\udc80.mp4"  # b'\x80' < b'\xc3..'
