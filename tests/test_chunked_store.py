@@ -390,3 +390,33 @@ def test_library_grow_migrates_flat_to_chunked(monkeypatch):
     assert np.array_equal(
         lib._packed.take_rows(np.arange(3000)), packed
     )
+
+
+def test_capacity_guard_raises_clear_error(monkeypatch):
+    """Past the measured device ceiling (80M passes, 96M is
+    RESOURCE_EXHAUSTED — BENCH_SCALE_r05.json) store creation and
+    growth must raise a clear capacity error naming n and the budget,
+    not die deep in the runtime (round-5 VERDICT item 4)."""
+    import pytest
+
+    from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+        ChunkedPackedStore,
+        check_packed_capacity,
+    )
+
+    # 4096 rows * 128 B = 512 KiB cap
+    monkeypatch.setenv("VDF_PACKED_CAP_GB", str(4096 * 128 / 1e9))
+    monkeypatch.setenv("VDF_CHUNK_ROWS", "1024")
+
+    check_packed_capacity(4096)  # at the cap: fine
+    with pytest.raises(ValueError, match="capacity budget"):
+        check_packed_capacity(5000)
+
+    with pytest.raises(ValueError, match="5,120"):
+        ChunkedPackedStore.zeros(5120, chunk_rows=1024)
+
+    store = ChunkedPackedStore.zeros(2048, chunk_rows=1024)
+    store.extend_to(4096)  # within cap
+    with pytest.raises(ValueError, match="capacity budget"):
+        store.extend_to(8192)
+    assert store.shape[0] == 4096  # growth refused atomically

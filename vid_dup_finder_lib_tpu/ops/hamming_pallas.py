@@ -1567,6 +1567,35 @@ def _max_alloc_bytes() -> float:
     return float(os.environ.get("VDF_MAX_ALLOC_GB", "8")) * 2**30
 
 
+def _packed_cap_bytes() -> float:
+    """Total packed-library bytes the device can hold with working room
+    for the sweep's window operands and compiled-program scratch.
+    Measured on the 16 GB v5e (BENCH_SCALE_r05.json): 80M hashes
+    (1.02e10 B packed) sweeps at full rate; 96M (1.23e10 B) is
+    RESOURCE_EXHAUSTED even at minimum split windows, and 100M fails
+    during library construction.  ``VDF_PACKED_CAP_GB`` overrides for
+    devices with more HBM."""
+    return float(os.environ.get("VDF_PACKED_CAP_GB", "11")) * 1e9
+
+
+def check_packed_capacity(total_rows: int, who: str = "packed library") -> None:
+    """Raise a clear capacity error instead of letting a multi-GB
+    allocation die deep inside the runtime with a bare
+    RESOURCE_EXHAUSTED (round-5 VERDICT item 4: graceful past-the-edge
+    behavior)."""
+    need = int(total_rows) * 128
+    cap = _packed_cap_bytes()
+    if need > cap:
+        raise ValueError(
+            f"{who} of {int(total_rows):,} hashes needs {need / 1e9:.2f} GB"
+            f" packed, over the {cap / 1e9:.1f} GB device capacity budget"
+            f" (measured ceiling on a 16 GB v5e: 80M hashes pass, 96M is"
+            f" RESOURCE_EXHAUSTED — BENCH_SCALE_r05.json).  Shard the"
+            f" library across chips (backend='ring') or raise"
+            f" VDF_PACKED_CAP_GB on a larger device."
+        )
+
+
 def _default_chunk_rows() -> int:
     """Rows per chunk of a ``ChunkedPackedStore`` (default 16M rows =
     2 GiB).  Must be a multiple of the window alignment (lcm of the tile
@@ -1648,6 +1677,7 @@ class ChunkedPackedStore:
     def zeros(cls, total_rows: int, chunk_rows: int | None = None):
         import jax.numpy as jnp
 
+        check_packed_capacity(total_rows, "chunked packed store")
         cr = int(chunk_rows or _default_chunk_rows())
         total = max(256, -(-int(total_rows) // 256) * 256)
         full, rem = divmod(total, cr)
@@ -1680,6 +1710,7 @@ class ChunkedPackedStore:
 
         if self.shape[0] >= total_rows:
             return
+        check_packed_capacity(total_rows, "chunked packed store")
         last = self.chunks[-1]
         if int(last.shape[0]) < self.chunk_rows:
             pad = jnp.zeros(
