@@ -42,7 +42,7 @@ from .errors import NotEnoughFrames, NotVideo, VdfError, VidProc
 from .crop import Crop
 from .match_group import MatchGroup, TooFewEntries
 from .search import Search, search, search_with_references
-from .video_hash import VideoHash
+from .video_hash import VideoHash, VideoHashBatch
 
 __all__ = [
     "Crop",
@@ -62,6 +62,7 @@ __all__ = [
     "TooFewEntries",
     "VdfError",
     "VideoHash",
+    "VideoHashBatch",
     "VideoHashBuilder",
     "VidProc",
     "search",

@@ -35,7 +35,7 @@ from .definitions import (
     TOLERANCE_SCALING_FACTOR,
 )
 from .match_group import MatchGroup, TooFewEntries
-from .video_hash import VideoHash, hashes_to_matrix
+from .video_hash import VideoHash, VideoHashBatch, hashes_to_matrix
 
 # Auto backend: use the device (JAX) distance kernel above this many entries.
 _DEVICE_SEARCH_THRESHOLD = 4096
@@ -85,10 +85,22 @@ class Search:
     """Sorted hash store for duplicate searches (search_algorithm.rs:19-199)."""
 
     def __init__(self, hashes: Iterable[VideoHash] = ()):  # Search::from + seed
+        # Bulk fast path: a VideoHashBatch (many_from_packed_u32) carries
+        # its duration / bytewise-path / packed-matrix columns, so the
+        # ctor does ZERO per-object Python work — at 16M entries the
+        # loops below cost ~10 s per Search, the dominant steady-state
+        # overhead of the public refs search (BENCH_REFS_r05.json).
+        packed_mat: np.ndarray | None = None
+        durations = paths = None
+        if (
+            isinstance(hashes, VideoHashBatch)
+            and hashes.arrays_valid
+            and hashes.paths_bytes is not None
+        ):
+            durations = hashes.durations
+            paths = hashes.paths_bytes
+            packed_mat = hashes.packed_u32
         entries = list(hashes)
-        durations = np.fromiter(
-            (e.duration for e in entries), dtype=np.int64, count=len(entries)
-        )
         # Vectorized (duration, bytewise-path) sort: PathBuf compares
         # bytewise and numpy's S dtype does too, so an all-ASCII path
         # array sorts identically under np.lexsort (stable, like
@@ -96,7 +108,12 @@ class Search:
         # costs ~2 us/entry (~30 s at 16M).  Non-ASCII paths (where
         # UTF-8 byte order and str code-point order can disagree on
         # surrogate-escaped bytes) fall back to the exact Python key.
-        if entries:
+        if entries and durations is None:
+            durations = np.fromiter(
+                (e.duration for e in entries),
+                dtype=np.int64,
+                count=len(entries),
+            )
             try:
                 paths = np.array(
                     [os.fspath(e.src_path) for e in entries],
@@ -104,6 +121,7 @@ class Search:
                 )
             except (UnicodeEncodeError, TypeError, ValueError):
                 paths = None
+        if entries:
             if paths is not None:
                 # O(n) sortedness check first: bulk handoffs (device
                 # libraries, cache dumps) arrive pre-sorted, and the
@@ -121,6 +139,10 @@ class Search:
                     ent_arr[:] = entries
                     entries = ent_arr[order].tolist()
                     durations = durations[order]
+                    if packed_mat is not None:
+                        packed_mat = np.ascontiguousarray(
+                            packed_mat[order]
+                        )
             else:
                 entries.sort(key=_sort_key)
                 durations = np.fromiter(
@@ -128,6 +150,9 @@ class Search:
                     dtype=np.int64,
                     count=len(entries),
                 )
+                packed_mat = None
+        if durations is None:
+            durations = np.zeros(0, dtype=np.int64)
         self.entries: list[VideoHash] = entries
         self.matched = np.zeros(len(self.entries), dtype=bool)
         self._durations = durations
@@ -145,8 +170,9 @@ class Search:
         self._library_order: np.ndarray | None = None
         self._library_geom = None
         # host packed matrix cache: rebuilding costs ~1.3 s per call at
-        # 1M entries and every search path needs it
-        self._packed_mat: np.ndarray | None = None
+        # 1M entries and every search path needs it.  A VideoHashBatch
+        # seeds it for free (its rows ARE views into this matrix).
+        self._packed_mat: np.ndarray | None = packed_mat
 
     def _packed_matrix(self) -> np.ndarray:
         if self._packed_mat is None:

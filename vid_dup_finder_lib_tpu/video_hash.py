@@ -14,6 +14,7 @@ pure ``view`` with no bit shuffling.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field, replace
 from typing import Iterable, Iterator
 
@@ -26,6 +27,58 @@ from .definitions import (
     HASH_WORDS32,
     TOLERANCE_SCALING_FACTOR,
 )
+
+
+class VideoHashBatch(list):
+    """A bulk-constructed ``list[VideoHash]`` carrying its backing arrays.
+
+    Produced by :meth:`VideoHash.many_from_packed_u32`.  Behaves exactly
+    like a plain list of hashes; additionally exposes the vectorized
+    columns the objects were built from so ``Search`` construction can
+    skip every per-object Python loop (durations ``np.fromiter``, path
+    ``os.fspath`` encode, ``hashes_to_matrix``) — at 16M entries those
+    loops cost ~10 s PER ``Search``, the dominant steady-state overhead
+    of the public refs search (round-5 evidence, BENCH_REFS_r05.json).
+
+    * ``packed_u32`` — ``uint32[n, 32]``, the device search format (the
+      rows' ``hash`` fields are read-only views into this buffer).
+    * ``durations`` — ``int64[n]``.
+    * ``paths_bytes`` — bytewise path array (``np.bytes_``) for the
+      (duration, path) sort, or ``None`` when a path refuses ASCII
+      encoding (``Search`` then falls back to the exact per-object key).
+
+    Any in-place list mutation (append/sort/item assignment/...) marks
+    the arrays stale; consumers must check :attr:`arrays_valid` and fall
+    back to per-object iteration.  Slicing returns a plain list.
+    """
+
+    __slots__ = ("packed_u32", "durations", "paths_bytes", "arrays_valid")
+
+    def __init__(self, entries, packed_u32, durations, paths_bytes):
+        super().__init__(entries)
+        self.packed_u32 = packed_u32
+        self.durations = durations
+        self.paths_bytes = paths_bytes
+        self.arrays_valid = True
+
+
+def _batch_invalidating(name: str):
+    base = getattr(list, name)
+
+    def method(self, *args, **kwargs):
+        self.arrays_valid = False
+        return base(self, *args, **kwargs)
+
+    method.__name__ = name
+    return method
+
+
+for _name in (
+    "append", "extend", "insert", "remove", "pop", "clear", "sort",
+    "reverse", "__setitem__", "__delitem__", "__iadd__", "__imul__",
+):
+    setattr(VideoHashBatch, _name, _batch_invalidating(_name))
+del _name
 
 
 def pack_bits(bits: np.ndarray) -> np.ndarray:
@@ -118,13 +171,17 @@ class VideoHash:
         matrix: np.ndarray,
         src_paths: Iterable[str],
         durations: Iterable[int],
-    ) -> "list[VideoHash]":
+    ) -> "VideoHashBatch":
         """Bulk ``from_packed_u32`` over a ``uint32[k, 32]`` matrix: ONE
         u4->u8 reinterpret of the whole matrix, each hash holding a
         read-only row view (no per-row copy).  At 16M rows the per-row
         constructor spends ~410 s; this path is ~3x faster — the library
-        build half of large ``search(device_library=)`` workloads."""
-        w = np.ascontiguousarray(matrix, dtype="<u4").view("<u8")
+        build half of large ``search(device_library=)`` workloads.
+
+        Returns a :class:`VideoHashBatch` (a ``list`` subclass) whose
+        backing arrays let ``Search`` skip all per-object iteration."""
+        w32 = np.ascontiguousarray(matrix, dtype="<u4")
+        w = w32.view("<u8")
         assert w.shape[1] == HASH_WORDS
         w.setflags(write=False)
         # the frozen-dataclass __init__ + __post_init__ dominate at this
@@ -132,13 +189,31 @@ class VideoHash:
         # so construct directly (rows are read-only u64 views)
         new, setattr_ = VideoHash.__new__, object.__setattr__
         out: list[VideoHash] = []
+        path_keys: list[str] = []
+        dur_list: list[int] = []
         for i, (p, d) in enumerate(zip(src_paths, durations)):
             o = new(VideoHash)
             setattr_(o, "hash", w[i])
             setattr_(o, "src_path", p)
-            setattr_(o, "duration", int(d))
+            d = int(d)
+            setattr_(o, "duration", d)
             out.append(o)
-        return out
+            path_keys.append(p if type(p) is str else os.fspath(p))
+            dur_list.append(d)
+        k = len(out)
+        try:
+            # np.bytes_ conversion ASCII-encodes; non-ASCII paths (where
+            # UTF-8 byte order and code-point order can diverge) raise
+            # and drop to the exact per-object sort key in Search
+            paths_arr = np.array(path_keys, dtype=np.bytes_) if k else None
+        except (UnicodeEncodeError, TypeError, ValueError):
+            paths_arr = None
+        return VideoHashBatch(
+            out,
+            w32[:k],
+            np.array(dur_list, dtype=np.int64),
+            paths_arr,
+        )
 
     @staticmethod
     def from_bits(
