@@ -420,3 +420,34 @@ def test_capacity_guard_raises_clear_error(monkeypatch):
     with pytest.raises(ValueError, match="capacity budget"):
         store.extend_to(8192)
     assert store.shape[0] == 4096  # growth refused atomically
+
+
+def test_take_rows_gather_oom_falls_back_to_row_slices(monkeypatch):
+    """Near the HBM ceiling the batched ``jnp.take`` gather can be
+    RESOURCE_EXHAUSTED even though the store itself fits (measured at
+    100M hashes: 12.8 GB packed leaves no gather scratch).  take_rows
+    must degrade to per-row dynamic_slice fetches, bit-exactly."""
+    import jax.numpy as jnp
+
+    from vid_dup_finder_lib_tpu.ops import hamming_pallas as hp
+
+    rng = np.random.default_rng(11)
+    flat = rng.integers(0, 2**32, (3000, 32), dtype=np.uint64).astype(
+        np.uint32
+    )
+    store = hp.ChunkedPackedStore.zeros(3000, 1024)
+    store.set_rows(0, flat)
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    monkeypatch.setattr(jnp, "take", boom)
+    idx = np.array([5, 1023, 1024, 2047, 2048, 2999, 0])
+    assert np.array_equal(store.take_rows(idx), flat[idx])
+
+    def other(*a, **k):
+        raise RuntimeError("INVALID_ARGUMENT: something else")
+
+    monkeypatch.setattr(jnp, "take", other)
+    with pytest.raises(RuntimeError, match="something else"):
+        store.take_rows(idx)

@@ -1773,6 +1773,7 @@ class ChunkedPackedStore:
 
     def take_rows(self, idx: np.ndarray) -> np.ndarray:
         """Host gather of a few rows (planted-cluster seeds etc.)."""
+        import jax
         import jax.numpy as jnp
 
         idx = np.asarray(idx, dtype=np.int64)
@@ -1783,13 +1784,28 @@ class ChunkedPackedStore:
             )
             if not m.any():
                 continue
-            out[m] = np.asarray(
-                jnp.take(
-                    self.chunks[c],
-                    jnp.asarray(idx[m] - c * self.chunk_rows),
+            rel = idx[m] - c * self.chunk_rows
+            try:
+                out[m] = np.asarray(
+                    jnp.take(self.chunks[c], jnp.asarray(rel), axis=0)
+                )
+            except Exception as e:  # XlaRuntimeError has no stable type
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # Near the HBM ceiling (measured: a 12.8 GB packed store
+                # at 100M hashes) the batched gather's scratch does not
+                # fit.  Fall back to one dynamic_slice per row — k is
+                # small (planted seeds), so ~k tunnel round trips.
+                sl = jax.jit(
+                    lambda a, i: jax.lax.dynamic_slice(a, (i, 0), (1, 32))
+                )
+                out[m] = np.concatenate(
+                    [
+                        np.asarray(sl(self.chunks[c], jnp.int32(int(r))))
+                        for r in rel
+                    ],
                     axis=0,
                 )
-            )
         return out
 
     def scatter_rows(self, idx: np.ndarray, rows: np.ndarray) -> None:
