@@ -289,3 +289,83 @@ def test_windowed_need_matches_state():
     st_s = hp.SplitWindowState(None, bounds, n=900, packed_dev=dev_s,
                                geom=geom)
     assert st_s.packed_dev is dev_s
+
+
+class TestAutoSplitWindowSizing:
+    """Default split windows auto-shrink near the HBM ceiling
+    (BENCH_SCALE_r05.json: 80M at default 1M/2M windows sweeps, 96M at
+    the same defaults is RESOURCE_EXHAUSTED in the counts launch)."""
+
+    ALIGN = 2048
+
+    def _resolve(self, n, rows=None, cols=None):
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+            Geometry,
+            _resolve_split_windows,
+        )
+
+        n_pad = -(-n // self.ALIGN) * self.ALIGN
+        return _resolve_split_windows(
+            n_pad, self.ALIGN, rows, cols, Geometry()
+        )
+
+    def test_defaults_stand_at_the_measured_80m_pass(self, monkeypatch):
+        monkeypatch.delenv("VDF_SPLIT_ROWS_WINDOW", raising=False)
+        monkeypatch.delenv("VDF_SPLIT_COLS_WINDOW", raising=False)
+        assert self._resolve(80_000_000) == (1 << 20, 1 << 21)
+
+    def test_auto_halves_at_the_measured_96m_failure(self, monkeypatch):
+        monkeypatch.delenv("VDF_SPLIT_ROWS_WINDOW", raising=False)
+        monkeypatch.delenv("VDF_SPLIT_COLS_WINDOW", raising=False)
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+            _split_budget_bytes,
+            _split_plan_bytes,
+        )
+
+        for n in (96_000_000, 100_000_000):
+            rw, cw = self._resolve(n)
+            assert (rw, cw) == (1 << 19, 1 << 20)
+            n_pad = -(-n // self.ALIGN) * self.ALIGN
+            assert (
+                _split_plan_bytes(n_pad, self.ALIGN, rw, cw)
+                <= _split_budget_bytes()
+            )
+
+    def test_explicit_sizes_are_authoritative(self, monkeypatch):
+        monkeypatch.delenv("VDF_SPLIT_ROWS_WINDOW", raising=False)
+        monkeypatch.delenv("VDF_SPLIT_COLS_WINDOW", raising=False)
+        assert self._resolve(96_000_000, 1 << 20, 1 << 21) == (
+            1 << 20,
+            1 << 21,
+        )
+
+    def test_env_sizes_are_authoritative(self, monkeypatch):
+        monkeypatch.setenv("VDF_SPLIT_ROWS_WINDOW", str(1 << 20))
+        monkeypatch.setenv("VDF_SPLIT_COLS_WINDOW", str(1 << 21))
+        assert self._resolve(96_000_000) == (1 << 20, 1 << 21)
+
+    def test_floors_hold_when_nothing_fits(self, monkeypatch):
+        monkeypatch.delenv("VDF_SPLIT_ROWS_WINDOW", raising=False)
+        monkeypatch.delenv("VDF_SPLIT_COLS_WINDOW", raising=False)
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import Geometry
+
+        g = Geometry()
+        min_cw = self.ALIGN + (g.band_tiles + 1) * g.tile_n
+        min_cw = -(-min_cw // self.ALIGN) * self.ALIGN
+        rw, cw = self._resolve(1_000_000_000)
+        assert (rw, cw) == (self.ALIGN, min_cw)
+
+    def test_fit_chunk_rows_kills_roundup_waste(self):
+        from vid_dup_finder_lib_tpu.ops.hamming_pallas import (
+            _default_chunk_rows,
+            fit_chunk_rows,
+        )
+
+        total = 101_300_000
+        cr = fit_chunk_rows(total)
+        k = -(-total // cr)
+        assert cr % 2048 == 0
+        assert k == -(-total // _default_chunk_rows())
+        assert k * cr - total < k * 2048  # waste < align per chunk
+        # far below the watermark nothing changes shape-wise
+        assert fit_chunk_rows(16 * 2**20) == 16 * 2**20

@@ -104,8 +104,15 @@ def run_point(n: int) -> dict:
     chunked = n_pad * 128 > hp._max_alloc_bytes()
     if chunked:
         # past the single-allocation watermark: generate the library
-        # directly into a ChunkedPackedStore, chunk by chunk
-        cr = hp._default_chunk_rows()
+        # directly into a ChunkedPackedStore, chunk by chunk.  Chunks
+        # are fit to n_pad (equal-size, waste < align rows) unless
+        # VDF_CHUNK_ROWS pins them — with the default 16M-row chunks a
+        # 100M-hash library would round 101M rows up to 117M, 1.9 GiB
+        # of dead HBM exactly where none is spare.
+        if os.environ.get("VDF_CHUNK_ROWS"):
+            cr = hp._default_chunk_rows()
+        else:
+            cr = hp.fit_chunk_rows(n_pad)
         total = -(-n_pad // cr) * cr
 
         @jax.jit

@@ -1977,6 +1977,39 @@ def windowed_need(
     return -(-n_pad // align) * align + w_rows
 
 
+def _split_budget_bytes() -> float:
+    """Total HBM a split-window sweep may PLAN against (packed store +
+    unpacked window operands + bounds).  Measured on the 16 GB v5e
+    (BENCH_SCALE_r05.json): the 80M default-window point plans 13.2 GiB
+    and sweeps at full rate; the 96M default-window point plans 15.0 GiB
+    and is RESOURCE_EXHAUSTED in the counts launch.  Default 14 GiB sits
+    between them; ``VDF_SPLIT_BUDGET_GB`` overrides for other devices."""
+    return float(os.environ.get("VDF_SPLIT_BUDGET_GB", "14")) * 2**30
+
+
+def _split_plan_bytes(n_pad: int, align: int, rw: int, cw: int) -> int:
+    """Projected device bytes of a split-window sweep at window sizes
+    (rw, cw): the packed store (flat or chunked — both keep a short
+    last allocation, so roundup waste is negligible), the two unpacked
+    +/-1 operand windows, and the padded bounds array."""
+    cap = -(-n_pad // align) * align
+    need = cap + max(rw, cw)
+    pm_b = 1024 if PM_DTYPE == "int8" else 2048
+    return need * 128 + (rw + cw) * pm_b + need * 4
+
+
+def fit_chunk_rows(total_rows: int, align: int = 2048) -> int:
+    """Chunk size for a ``ChunkedPackedStore`` holding ``total_rows``:
+    the default chunk count, but each chunk shrunk so the ceil-roundup
+    waste is < ``align`` rows instead of up to a whole 2 GiB chunk
+    (at 100M hashes the default 16M-row chunks round 101M rows up to
+    117M — 1.9 GiB of dead HBM exactly where none is spare)."""
+    cr_default = _default_chunk_rows()
+    k = max(1, -(-int(total_rows) // cr_default))
+    cr = -(-(-(-int(total_rows) // k)) // align) * align
+    return max(cr, align)
+
+
 def _resolve_split_windows(
     n_pad: int,
     align: int,
@@ -1986,8 +2019,23 @@ def _resolve_split_windows(
 ) -> tuple[int, int]:
     """Resolve the (rows, cols) window sizes of a split-window state:
     align-rounded, floored at one row chunk / one anchored launch stripe,
-    capped at the padded library."""
+    capped at the padded library.
+
+    When BOTH sizes are defaults (no explicit argument, no
+    VDF_SPLIT_ROWS_WINDOW/VDF_SPLIT_COLS_WINDOW), they auto-shrink —
+    halving together — until the projected sweep footprint
+    (``_split_plan_bytes``) fits ``_split_budget_bytes``.  This engages
+    only past ~80M hashes on a 16 GB v5e (every committed point below
+    that keeps its measured 1M/2M windows) and makes near-ceiling
+    libraries pick launchable windows instead of dying
+    RESOURCE_EXHAUSTED in the counts launch like the committed
+    default-window 96M attempt (BENCH_SCALE_r05.json capacity line).
+    Explicit sizes are authoritative and never adjusted."""
     TILE_M, TILE_N, R_TILES, BAND_TILES = geom
+    auto = rows_window_rows is None and cols_window_rows is None and (
+        "VDF_SPLIT_ROWS_WINDOW" not in os.environ
+        and "VDF_SPLIT_COLS_WINDOW" not in os.environ
+    )
     rw = int(
         rows_window_rows
         or int(os.environ.get("VDF_SPLIT_ROWS_WINDOW", str(1 << 20)))
@@ -1999,10 +2047,19 @@ def _resolve_split_windows(
     # a launch stripe spans BAND_TILES column tiles; its window anchor is
     # align-floored, so the column window must absorb one extra align
     min_cw = align + (BAND_TILES + 1) * TILE_N
+    min_cw = -(-min_cw // align) * align
     rw = max(align, -(-rw // align) * align)
-    cw = max(-(-min_cw // align) * align, -(-cw // align) * align)
+    cw = max(min_cw, -(-cw // align) * align)
     cap = -(-n_pad // align) * align
-    return min(rw, cap), min(cw, cap)
+    rw, cw = min(rw, cap), min(cw, cap)
+    if auto:
+        budget = _split_budget_bytes()
+        while _split_plan_bytes(n_pad, align, rw, cw) > budget and (
+            rw > align or cw > min_cw
+        ):
+            rw = max(align, -(-(rw // 2) // align) * align)
+            cw = max(min_cw, -(-(cw // 2) // align) * align)
+    return rw, cw
 
 
 def split_need(
