@@ -125,8 +125,9 @@ def cpu_baseline_rate(packed, bounds, sample_rows: int = 4096) -> float:
 
 
 def _tpu_responsive(
-    tries: int = int(os.environ.get("VDF_BENCH_PROBE_TRIES", "3")),
-    timeout_s: int = int(os.environ.get("VDF_BENCH_PROBE_TIMEOUT", "120")),
+    tries: int = int(os.environ.get("VDF_BENCH_PROBE_TRIES", "6")),
+    timeout_s: int = int(os.environ.get("VDF_BENCH_PROBE_TIMEOUT", "150")),
+    sleep_s: int = int(os.environ.get("VDF_BENCH_PROBE_SLEEP", "45")),
 ) -> bool:
     """Probe the TPU tunnel in a subprocess with a hard timeout.
 
@@ -136,6 +137,12 @@ def _tpu_responsive(
     a child process runs one tiny matmul + d2h fetch; if it cannot
     finish within ``timeout_s`` after ``tries`` attempts the bench
     degrades to the XLA-CPU device backend instead of hanging.
+
+    Transient back-pressure right after a multi-minute sweep elsewhere
+    can stall the tunnel for several minutes WITHOUT being a wedge (a
+    ring@32M run left it unresponsive for ~6 min), so failed attempts
+    sleep ``sleep_s`` before retrying — total patience ~18 min at the
+    defaults, well under a real >1 h wedge.
     """
     import subprocess
 
@@ -144,7 +151,7 @@ def _tpu_responsive(
         "x = jax.numpy.ones((256, 256), dtype=jax.numpy.bfloat16)\n"
         "print(float(np.asarray(x @ x).sum()))\n"
     )
-    for _ in range(tries):
+    for attempt in range(tries):
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
@@ -153,8 +160,17 @@ def _tpu_responsive(
             )
             if r.returncode == 0:
                 return True
+            note = f"rc={r.returncode}"
         except subprocess.TimeoutExpired:
-            pass
+            note = f"timeout after {timeout_s}s"
+        print(
+            f"[bench] tpu probe attempt {attempt + 1}/{tries} failed"
+            f" ({note})",
+            file=sys.stderr,
+            flush=True,
+        )
+        if attempt + 1 < tries:
+            time.sleep(sleep_s)
     return False
 
 
