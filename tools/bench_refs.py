@@ -81,9 +81,11 @@ def _run_public(
     # device-resident candidate library, appended in sorted order
     # (cand rows ARE duration-sorted and paths ascend with the index)
     t0 = time.time()
-    lib = IncrementalDeviceLibrary(capacity=max(1024, n))
     if cands_dev is not None:
-        # device-born rows: adopt without h2d (mirror of lib.append)
+        # device-born rows: adopt without h2d (mirror of lib.append).
+        # capacity=1024 so the ctor does NOT materialize a dead n-row
+        # zeros store (2+ GiB at 16M) that the rebind discards
+        lib = IncrementalDeviceLibrary(capacity=1024)
         if n < 1024:
             pad = jnp.zeros((1024 - n, 32), jnp.uint32)
             lib._packed = jnp.concatenate([cands_dev, pad])
@@ -93,8 +95,14 @@ def _run_public(
             lib._cap = int(cands_dev.shape[0])
         lib.n = n
     else:
+        lib = IncrementalDeviceLibrary(capacity=max(1024, n))
         lib.append(cands)
-    jax.block_until_ready(lib._packed)
+    # force completion with a d2h fetch: block_until_ready can return
+    # EARLY through this tunnel, turning append timings into illusions
+    if hasattr(lib._packed, "take_rows"):
+        int(lib._packed.take_rows(np.array([0]))[0, 0])
+    else:
+        int(np.asarray(lib._packed[0, 0]))
     append_secs = time.time() - t0
 
     # first call pays Search construction caches + jit buckets; the

@@ -160,7 +160,11 @@ def run_point(n: int) -> dict:
     import functools
 
     if chunked:
-        packed_dev.scatter_rows(np.array(idxs), np.stack(rows))
+        # donate: this generator is the sole owner of the fresh store,
+        # and a chunk-sized copy would not fit at the capacity edge
+        packed_dev.scatter_rows(
+            np.array(idxs), np.stack(rows), donate=True
+        )
         int(packed_dev.take_rows(np.array([0]))[0, 0])  # force (tunnel)
     else:
 

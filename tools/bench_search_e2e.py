@@ -102,9 +102,13 @@ def main() -> None:
         t0 = time.time()
         lib = IncrementalDeviceLibrary(capacity=n_pad)
         lib.append(packed)
-        import jax
-
-        jax.block_until_ready(lib._packed)
+        # force completion with a d2h fetch: block_until_ready can
+        # return EARLY through this tunnel (CLAUDE.md), which would
+        # push unfinished h2d into the first timed search
+        if hasattr(lib._packed, "take_rows"):
+            int(lib._packed.take_rows(np.array([0]))[0, 0])
+        else:
+            int(np.asarray(lib._packed[0, 0]))
         t_append = time.time() - t0
 
     t_sort = None

@@ -1401,14 +1401,15 @@ class IncrementalDeviceLibrary:
         new_cap = self._cap
         while new_cap < need:
             new_cap *= 2
-        if new_cap * 128 > _max_alloc_bytes():
-            # crossing the watermark: migrate the flat buffer into a
-            # chunked store (chunk-sized device-to-device copies)
-            store = ChunkedPackedStore.zeros(need)
-            store.set_rows(0, self._packed[: self.n])
-            self._packed = store
-            self._cap = store.shape[0]
-            self._shared = False
+        if new_cap * 128 > _max_alloc_bytes() / 2:
+            # crossing HALF the single-allocation watermark: migrate to
+            # a chunked store NOW, while the flat source plus its
+            # chunk-sized copies still fit beside each other.  Waiting
+            # for the full watermark (as the first round-5 cut did)
+            # migrates from an up-to-8 GiB flat buffer whose source +
+            # destination + copy temps exceed the 16 GB device — the
+            # exact bare OOM this class exists to prevent.
+            self._migrate_to_chunked(need)
             return
         buf = jnp.zeros((new_cap, 32), jnp.uint32)
         update_rows, _ = _incremental_jits()
@@ -1416,6 +1417,65 @@ class IncrementalDeviceLibrary:
             buf, self._packed[: self.n], jnp.int32(0)
         )
         self._cap = new_cap
+        self._shared = False
+
+    def _migrate_to_chunked(self, need: int) -> None:
+        """Migrate the flat packed buffer into a ``ChunkedPackedStore``
+        with bounded peak HBM.
+
+        Chunks are built as chunk-sized device slices of the flat
+        buffer (never a full-size copy, never a pre-zeroed full store),
+        so the d2d path peaks at ~2x the flat bytes + one chunk.  A flat
+        buffer already past half the watermark (only reachable via an
+        explicit large ctor ``capacity``) bounces through the host
+        instead — d2h chunk fetches, drop the flat buffer, re-upload —
+        peaking at flat + one chunk on device; slower, but the d2d
+        route would need ~2x flat + scratch, past total HBM.
+        """
+        import jax.numpy as jnp
+
+        check_packed_capacity(need, "chunked packed store")
+        cr = fit_chunk_rows(max(need, int(self._packed.shape[0])))
+        flat = self._packed
+        rows_total = int(flat.shape[0])
+        flat_bytes = rows_total * 128
+        chunks = []
+        if flat_bytes <= _max_alloc_bytes() / 2:
+            at = 0
+            while at < rows_total:
+                take = min(cr, rows_total - at)
+                chunks.append(
+                    _chunk_slice1_jit(take)(flat, jnp.int32(at))
+                )
+                at += take
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "migrating a %.1f GiB flat device library through the"
+                " host (chunked growth past the single-allocation"
+                " watermark): expect one-off d2h+h2d transfer time",
+                flat_bytes / 2**30,
+            )
+            host_pieces = []
+            at = 0
+            while at < rows_total:
+                take = min(cr, rows_total - at)
+                host_pieces.append(
+                    np.asarray(
+                        _chunk_slice1_jit(take)(flat, jnp.int32(at))
+                    )
+                )
+                at += take
+            # drop every device reference to the flat buffer before
+            # re-uploading, so flat + chunks never coexist
+            self._packed = flat = None
+            chunks = [jnp.asarray(p) for p in host_pieces]
+        store = ChunkedPackedStore(chunks, cr)
+        flat = None  # last flat reference (d2d path) dies here
+        self._packed = store  # data safe before the zero-extension
+        store.extend_to(need)  # capacity pre-checked above
+        self._cap = store.shape[0]
         self._shared = False
 
     def append(self, packed_rows: np.ndarray) -> None:
@@ -1516,8 +1576,20 @@ class IncrementalDeviceLibrary:
                     f"VDF_MAX_ALLOC_GB) and requires a windowed state; "
                     f"do not force windowed=False at this scale"
                 )
-            packed_sorted = self._packed  # zero-copy; pads are masked
-            self._shared = True
+            if chunked:
+                # hand the state its OWN store wrapper (shallow list
+                # copy; the chunk arrays themselves are shared): the
+                # state ctor extend_to()s window slide room, which must
+                # not mutate the library's store in place or stale its
+                # _cap.  Library appends rebind entries of the library's
+                # own list (non-donating updates), so the state's copy
+                # stays valid without the _shared dance.
+                packed_sorted = ChunkedPackedStore(
+                    list(self._packed.chunks), self._packed.chunk_rows
+                )
+            else:
+                packed_sorted = self._packed  # zero-copy; pads masked
+                self._shared = True
         elif chunked:
             # a cross-chunk permutation gather would transiently hold
             # source + destination stores (2 x 128 B/hash) plus gather
@@ -1808,8 +1880,20 @@ class ChunkedPackedStore:
                 )
         return out
 
-    def scatter_rows(self, idx: np.ndarray, rows: np.ndarray) -> None:
-        """Scatter host rows at arbitrary indices (donating per chunk)."""
+    def scatter_rows(
+        self, idx: np.ndarray, rows: np.ndarray, donate: bool = False
+    ) -> None:
+        """Scatter host rows at arbitrary indices.
+
+        ``donate=True`` updates each touched chunk in place (no
+        chunk-sized copy — decisive at the HBM capacity edge, where
+        bench_scale plants clusters into a near-ceiling store) but
+        DELETES the old chunk buffer: only safe while this store is the
+        sole owner of its chunks.  Any store that has been handed out
+        (``IncrementalDeviceLibrary.state()``, ``_grow`` shallow
+        copies) shares chunk arrays with the recipient, so the default
+        is a non-donating functional update.
+        """
         import jax
 
         import jax.numpy as jnp
@@ -1817,7 +1901,9 @@ class ChunkedPackedStore:
         idx = np.asarray(idx, dtype=np.int64)
         rows = np.ascontiguousarray(rows, dtype=np.uint32)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,) if donate else ()
+        )
         def scat(c, ii, rr):
             return c.at[ii].set(rr)
 

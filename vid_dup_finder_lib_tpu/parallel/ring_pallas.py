@@ -304,29 +304,54 @@ def ring_capacity_ok(
     ``backend="auto"`` falls back to the single-chip split path on one
     device of the mesh (round-4 VERDICT weak #3).
     """
-    geom = geom if geom is not None else hp.Geometry()
-    align = _align(geom)
-    ns = -(-(-(-n // n_dev)) // align) * align
-    bounds_c = np.minimum(np.asarray(bounds, dtype=np.int64), n)
-    spans = bounds_c - np.arange(n)
-    max_span = int(spans.max()) if n else 0
-    pad_rows = (geom.band_tiles + 1) * geom.tile_n
-    # the same default rows-window rule banded_adjacency_ring applies
-    env = os.environ.get("VDF_RING_WINDOW_ROWS")
-    if env:
-        w_rows = min(max(-(-int(env) // align) * align, align), ns)
-    else:
-        threshold = int(
-            os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
-        )
-        w_rows = min(ns, max(align, threshold // 2))
-    cw_rows = (
-        min(w_rows + -(-max(max_span, 1) // align) * align, ns) + pad_rows
-    )
+    ns, _, w_rows, cw_rows = _ring_window_plan(n, bounds, n_dev, geom)
     pm_bytes = 1024 if hp.PM_DTYPE == "int8" else 2048
     footprint = 2 * ns * 128 + (w_rows + cw_rows) * pm_bytes
     budget = float(os.environ.get("VDF_HBM_BUDGET_GB", "12")) * 2**30
     return footprint <= budget
+
+
+def _ring_window_plan(
+    n: int,
+    bounds: np.ndarray,
+    n_dev: int,
+    geom: "hp.Geometry | None" = None,
+    window_rows: int | None = None,
+):
+    """Shared shard/window sizing of the ring sweep.
+
+    Returns ``(ns, bounds_c, w_rows, cw_rows)``: aligned rows per
+    shard, clipped bounds, the sliding rows window, and its
+    band-spanning column window.  ``banded_adjacency_ring`` runs this
+    exact plan and ``ring_capacity_ok`` vetoes on it, so the capacity
+    rule can never desynchronize from the geometry the sweep actually
+    launches (one rule, one place).
+    """
+    geom = geom if geom is not None else hp.Geometry()
+    align = _align(geom)
+    ns = -(-(-(-n // n_dev)) // align) * align
+    bounds_c = np.minimum(np.asarray(bounds, dtype=np.int64), n)
+    if window_rows is None:
+        env = os.environ.get("VDF_RING_WINDOW_ROWS")
+        if env:
+            window_rows = int(env)
+        else:
+            # same HBM-budget derivation as the single-chip
+            # VDF_WINDOWED_THRESHOLD rule: per-shard +/-1 operands are
+            # ~(w_rows + cw_rows) KB ~= 2 * w_rows KB
+            threshold = int(
+                os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
+            )
+            window_rows = min(ns, max(align, threshold // 2))
+    w_rows = min(max(-(-int(window_rows) // align) * align, align), ns)
+    # column-window span: rows' own window + widest band + stripe pad
+    spans = bounds_c - np.arange(n)
+    max_span = int(spans.max()) if n else 0
+    pad_rows = (geom.band_tiles + 1) * geom.tile_n
+    cw_rows = (
+        min(w_rows + -(-max(max_span, 1) // align) * align, ns) + pad_rows
+    )
+    return ns, bounds_c, w_rows, cw_rows
 
 
 def _plan_ring_launches(
@@ -563,39 +588,17 @@ def banded_adjacency_ring(
 
     n_dev = int(mesh.devices.size)
     align = _align(geom)
-    ns = -(-(-(-n // n_dev)) // align) * align
-    npad = ns * n_dev
     tile_m, tile_n = geom.tile_m, geom.tile_n
 
-    bounds = np.asarray(bounds, dtype=np.int64)
-    bounds_c = np.minimum(bounds, n)
-
-    # row windows per shard.  The default derives from the same HBM
-    # budget as the single-chip VDF_WINDOWED_THRESHOLD rule: a shard's
-    # resident +/-1 operands are ~(w_rows + cw_rows) KB ~= 2 * w_rows KB,
-    # so cap w_rows at threshold / 2 — without this, the auto multi-chip
-    # path would build whole-shard operands and OOM on shards whose +/-1
-    # expansion exceeds HBM (round-3 ADVICE finding 2).
-    if window_rows is None:
-        env = os.environ.get("VDF_RING_WINDOW_ROWS")
-        if env:
-            window_rows = int(env)
-        else:
-            threshold = int(
-                os.environ.get("VDF_WINDOWED_THRESHOLD", "3000000")
-            )
-            window_rows = min(ns, max(align, threshold // 2))
-    w_rows = min(max(-(-int(window_rows) // align) * align, align), ns)
+    # shard/window sizing shared with the ring_capacity_ok veto (one
+    # rule, one place — round-3 ADVICE finding 2 for the default's HBM
+    # derivation; the veto desync hazard is why it is not inlined here)
+    ns, bounds_c, w_rows, cw_rows = _ring_window_plan(
+        n, bounds, n_dev, geom, window_rows
+    )
+    npad = ns * n_dev
     n_win = -(-ns // w_rows)
     w_starts = [min(w * w_rows, ns - w_rows) for w in range(n_win)]
-
-    # column-window span: rows' own window + the widest band + stripe pad
-    spans = bounds_c - np.arange(n)
-    max_span = int(spans.max()) if n else 0
-    pad_rows = (geom.band_tiles + 1) * tile_n
-    cw_rows = (
-        min(w_rows + -(-max(max_span, 1) // align) * align, ns) + pad_rows
-    )
 
     # per-row-tile metadata (global), vectorized: full tiles reduce in
     # one reshape, the partial tail tile separately; tiles past n keep

@@ -121,6 +121,10 @@ class Search:
                 )
             except (UnicodeEncodeError, TypeError, ValueError):
                 paths = None
+        # whether the ctor had to re-sort the input (None = unknown, the
+        # non-ASCII Python-key fallback): attach_device_library's
+        # identity-order default is only safe when it did not
+        self._ctor_resorted: bool | None = False
         if entries:
             if paths is not None:
                 # O(n) sortedness check first: bulk handoffs (device
@@ -133,6 +137,7 @@ class Search:
                         | (paths[1:] >= paths[:-1])
                     ).all()
                 )
+                self._ctor_resorted = not is_sorted
                 if not is_sorted:
                     order = np.lexsort((paths, durations))
                     ent_arr = np.empty(len(entries), dtype=object)
@@ -151,6 +156,7 @@ class Search:
                     count=len(entries),
                 )
                 packed_mat = None
+                self._ctor_resorted = None
         if durations is None:
             durations = np.zeros(0, dtype=np.int64)
         self.entries: list[VideoHash] = entries
@@ -204,16 +210,79 @@ class Search:
         self._library_geom = geom
         if insertion_paths is None:
             # rows were appended in this Search's sorted entry order
+            if library.n != len(self.entries):
+                raise ValueError(
+                    f"attach_device_library(insertion_paths=None): the"
+                    f" library holds {library.n} rows but this Search"
+                    f" has {len(self.entries)} entries — identity order"
+                    f" requires exactly one row per entry (pass"
+                    f" insertion_paths for a superset library)"
+                )
+            # a misaligned identity order would sweep the WRONG rows and
+            # return silently wrong groups.  When this Search's input
+            # arrived pre-sorted the alignment is self-evident (the
+            # common bulk flow: append, then Search over the same
+            # order) and this costs nothing; when the ctor had to
+            # re-sort, spot-check a few sampled library rows against
+            # the sorted entries' packed rows (one small d2h) before
+            # trusting the caller's claim.
+            if self._ctor_resorted is not False and self.entries:
+                n = len(self.entries)
+                sample = sorted({0, n // 3, (2 * n) // 3, n - 1})
+                got = self._library_rows(library, sample)
+                for k, i in enumerate(sample):
+                    if not np.array_equal(
+                        got[k], self.entries[i].packed_u32()
+                    ):
+                        raise ValueError(
+                            f"attach_device_library(insertion_paths="
+                            f"None): library row {i} does not match"
+                            f" this Search's sorted entry {i} — the"
+                            f" rows were not appended in sorted"
+                            f" (duration, src_path) order.  Pass"
+                            f" insertion_paths (one src_path per"
+                            f" appended row) or append pre-sorted."
+                        )
             order = np.arange(len(self.entries), dtype=np.int64)
         else:
             idx = {p: i for i, p in enumerate(insertion_paths)}
-            order = np.array(
-                [idx[e.src_path] for e in self.entries], dtype=np.int64
-            )
+            try:
+                order = np.array(
+                    [idx[e.src_path] for e in self.entries],
+                    dtype=np.int64,
+                )
+            except KeyError as e:
+                raise ValueError(
+                    f"attach_device_library: entry src_path {e.args[0]!r}"
+                    f" has no row in insertion_paths — every Search"
+                    f" entry must have been appended to the library"
+                ) from None
+            if library.n < len(idx):
+                raise ValueError(
+                    f"attach_device_library: insertion_paths names"
+                    f" {len(idx)} rows but the library holds only"
+                    f" {library.n}"
+                )
         self._library = library
         self._library_order = order
         self._cands_dev = None  # gathered lazily by the refs paths
         self._adj_j = self._adj_off = None  # adjacency source changed
+
+    @staticmethod
+    def _library_rows(library, idx) -> np.ndarray:
+        """Host fetch of a few library rows (identity-order spot-check)."""
+        import jax.numpy as jnp
+
+        packed = library._packed
+        if hasattr(packed, "take_rows"):  # ChunkedPackedStore
+            return packed.take_rows(np.asarray(idx, dtype=np.int64))
+        return np.asarray(
+            jnp.take(
+                packed,
+                jnp.asarray(np.asarray(idx, dtype=np.int32)),
+                axis=0,
+            )
+        )
 
     def _ensure_cands_dev(self):
         """Sorted-order device gather of the attached library's rows
@@ -515,7 +584,22 @@ class Search:
                 n_entries >= win_threshold
                 or os.environ.get("VDF_REFS_WINDOWED") == "1"
             )
-            if use_windowed and os.environ.get("VDF_REFS_WINDOWED") != "0":
+            # a chunked candidate store (past the single-allocation
+            # watermark) can only be consumed by the windowed state,
+            # whose column windows slice across chunk seams — the
+            # resident chunk loop below indexes the store directly, so
+            # knobs cannot route a chunked library off this path
+            cands_chunked = False
+            if resident:
+                from .ops.hamming_pallas import ChunkedPackedStore
+
+                cands_chunked = isinstance(
+                    self._cands_dev, ChunkedPackedStore
+                )
+            if cands_chunked or (
+                use_windowed
+                and os.environ.get("VDF_REFS_WINDOWED") != "0"
+            ):
                 # multi-chip: shard the duration-sorted refs over the
                 # mesh (packed candidates replicated, per-shard sliding
                 # column windows, zero hot-loop collectives) — auto on
@@ -527,14 +611,11 @@ class Search:
                     sharded = (
                         "1" if len(jax.devices()) > 1 else None
                     )
-                if resident:
-                    from .ops.hamming_pallas import ChunkedPackedStore
-
-                    if isinstance(self._cands_dev, ChunkedPackedStore):
-                        # the sharded path replicates one flat buffer
-                        # per device; a chunked store stays on the
-                        # single-chip windowed state
-                        sharded = None
+                if cands_chunked:
+                    # the sharded path replicates one flat buffer per
+                    # device; a chunked store stays on the single-chip
+                    # windowed state
+                    sharded = None
                 if sharded == "1":
                     from .parallel.refs_sharded import (
                         refs_adjacency_sharded,

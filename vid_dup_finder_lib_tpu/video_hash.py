@@ -184,6 +184,17 @@ class VideoHash:
         w = w32.view("<u8")
         assert w.shape[1] == HASH_WORDS
         w.setflags(write=False)
+        src_paths = list(src_paths)
+        durations = list(durations)
+        if not (len(src_paths) == len(durations) == w.shape[0]):
+            # a silent zip-truncation here would drop hashes (and their
+            # duplicates) without a trace; a too-long paths list would
+            # die as an opaque IndexError mid-loop
+            raise ValueError(
+                f"many_from_packed_u32: matrix has {w.shape[0]} rows"
+                f" but got {len(src_paths)} src_paths and"
+                f" {len(durations)} durations — all three must match"
+            )
         # the frozen-dataclass __init__ + __post_init__ dominate at this
         # volume; validation already happened once on the whole matrix,
         # so construct directly (rows are read-only u64 views)
